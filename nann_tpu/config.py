@@ -1,0 +1,136 @@
+"""Configuration for nann_tpu jobs.
+
+Mirrors the knob surface of the reference CLI (`NANN_impls/nann/config.py:16-91`)
+but as typed dataclasses usable both programmatically and from the CLI driver
+(`nann_tpu/main.py`). Paths are derived the same way (model/, embeddings/,
+index/, export/ under one output root; dataset meta JSON merged in).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import List, Optional, Sequence
+
+
+def _makedirs(path: str) -> str:
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Scorer architecture. Reference: NANN_impls/nann/model/model.py:20-233."""
+
+    num_item: int = 1000
+    num_cate: int = 100
+    emb_dim: int = 32                 # id/cate embedding dim; item emb dim = 2*emb_dim
+    max_seq_length: int = 50
+    item_tower_dims: Sequence[int] = (64, 64, 64)    # 3 DNN layers, dim = 2*emb_dim
+    head_dims: Sequence[int] = (128, 64, 32, 1)      # final layer bias-free
+    # attention projections: d -> att_proj_mult1*d -> att_proj_mult2*d
+    att_proj_mult1: int = 2
+    att_proj_mult2: int = 4
+    bn_momentum: float = 0.99
+    bn_epsilon: float = 1e-3          # tf.layers.batch_normalization default
+    # compute dtype for the scorer matmuls ("bfloat16" on TPU, "float32" for tests)
+    compute_dtype: str = "float32"
+
+    @property
+    def item_emb_dim(self) -> int:
+        return 2 * self.emb_dim
+
+    @property
+    def user_emb_dim(self) -> int:
+        return 2 * self.emb_dim
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Training hyperparameters. Reference defaults: nann/config.py:22-42."""
+
+    batch_size: int = 800
+    train_epochs: int = 5
+    learning_rate: float = 3e-3
+    weight_decay: float = 1e-4
+    adv_eps: float = 3e-5             # FGSM epsilon; 0 disables
+    adv_weight: float = 1.0
+    num_neg: int = 200                # negatives per positive
+    save_freq: int = 5000
+    print_freq: int = 50
+    seed: int = 0
+    # parallelism: number of data-parallel shards (devices) for the train step
+    dp: int = 1
+
+
+@dataclasses.dataclass
+class SearchConfig:
+    """HNSW search budget. Reference: nann/config.py:50-57.
+
+    Level order follows the reference convention: index 0 = ground level.
+    """
+
+    hnsw_start_level: int = 2
+    num_scoring_per_level: Sequence[int] = (3, 1, 1)   # ground..start
+    top_k_per_level: Sequence[int] = (400, 200, 100)   # ground..start
+    topk_eval: Sequence[int] = (200,)
+    # static frontier capacity per scoring hop in the fused jitted search
+    # (candidates*max_degree is the upper bound; this caps wasted FLOPs).
+    frontier_cap: int = 4096
+    # bucket ladder for frontier padding (reference: opt_default.conf warmup ladder)
+    buckets: Sequence[int] = (256, 512, 1024, 2048, 4096)
+
+    def validate(self) -> None:
+        assert len(self.num_scoring_per_level) == self.hnsw_start_level + 1
+        assert len(self.top_k_per_level) == self.hnsw_start_level + 1
+        assert self.num_scoring_per_level[self.hnsw_start_level] == 1
+
+
+@dataclasses.dataclass
+class IndexConfig:
+    """HNSW build parameters. Reference: nann/delivery/build_hnsw_index.py:22-26."""
+
+    num_neighbors: int = 32           # M; ground level stores up to 2M
+    ef_construction: int = 200
+    seed: int = 42
+
+
+@dataclasses.dataclass
+class PathConfig:
+    """Derived output layout, same shape as reference nann/config.py:63-90."""
+
+    output_root: str = "./output"
+    dataset_dir: str = "./data"
+
+    def __post_init__(self):
+        self.model_save_dir = _makedirs(os.path.join(self.output_root, "model"))
+        emb_dir = _makedirs(os.path.join(self.output_root, "embeddings"))
+        self.item_ids_file = os.path.join(emb_dir, "item_ids.npy")
+        self.item_embs_file = os.path.join(emb_dir, "item_embs.npy")
+        self.index_dir = _makedirs(os.path.join(self.output_root, "index"))
+        self.export_dir = _makedirs(os.path.join(self.output_root, "export"))
+        self.log_file = os.path.join(self.output_root, "nann_tpu.log")
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
+    index: IndexConfig = dataclasses.field(default_factory=IndexConfig)
+    paths: Optional[PathConfig] = None
+    num_test_users: int = 10000
+
+    @staticmethod
+    def from_dataset_meta(meta_path: str, **overrides) -> "Config":
+        """Load `ub_meta.json` (written by the data converter) into a Config,
+        like reference nann/config.py:83-89."""
+        with open(meta_path) as f:
+            meta = json.load(f)
+        cfg = Config(**overrides)
+        cfg.model.num_item = meta["num_item"]
+        cfg.model.num_cate = meta["num_cate"]
+        cfg.model.max_seq_length = meta["max_length"]
+        cfg.num_train_samples = meta.get("num_train_samples", 0)
+        return cfg
