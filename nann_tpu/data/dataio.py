@@ -1,0 +1,60 @@
+"""Input pipeline: shuffled, repeated, batched host arrays -> device batches.
+
+TPU-native replacement for the reference tf.data pipeline
+(NANN_impls/nann/data_provider/dataio.py:11-78): the dataset (packed numpy
+arrays, memory-mapped for the real UserBehavior corpus) is shuffled per epoch,
+batched with drop-remainder, and fed to the jitted train step. Device transfer
+happens asynchronously inside jit dispatch; with a mesh the per-batch arrays
+are laid out sharded over the "dp" axis by jax.device_put.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+try:  # optional at import time so pure-numpy tooling can reuse this module
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+except ImportError:  # pragma: no cover
+    jax = None
+
+
+class BatchIterator:
+    """Epoch-shuffled batch iterator over a dict-of-arrays dataset."""
+
+    def __init__(self, data: Dict[str, np.ndarray], batch_size: int,
+                 epochs: int = 1, drop_remainder: bool = True, seed: int = 0,
+                 mesh: Optional["Mesh"] = None):
+        self.data = data
+        self.batch_size = batch_size
+        self.epochs = epochs
+        self.drop_remainder = drop_remainder
+        self.seed = seed
+        self.num_samples = len(next(iter(data.values())))
+        self._shardings = None
+        if mesh is not None:
+            self._shardings = {
+                k: NamedSharding(mesh, P("dp", *([None] * (v.ndim - 1))))
+                for k, v in data.items()
+            }
+
+    def __len__(self) -> int:
+        per_epoch = (self.num_samples // self.batch_size if self.drop_remainder
+                     else -(-self.num_samples // self.batch_size))
+        return per_epoch * self.epochs
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for epoch in range(self.epochs):
+            rng = np.random.default_rng(self.seed + epoch)
+            order = rng.permutation(self.num_samples)
+            end = (self.num_samples - self.num_samples % self.batch_size
+                   if self.drop_remainder else self.num_samples)
+            for start in range(0, end, self.batch_size):
+                idx = order[start:start + self.batch_size]
+                batch = {k: v[idx] for k, v in self.data.items()}
+                if self._shardings is not None:
+                    batch = {k: jax.device_put(v, self._shardings[k])
+                             for k, v in batch.items()}
+                yield batch

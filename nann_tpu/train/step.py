@@ -1,0 +1,98 @@
+"""Train state and the jitted (optionally data-parallel) train step.
+
+Replaces the reference's MirroredStrategy + AdamW setup (NANN_impls/main.py:
+240-274) with the TPU-native formulation: one `jax.jit` train step whose batch
+is sharded over the mesh's "dp" axis and whose params/optimizer state are
+replicated — XLA inserts the gradient psum over ICI automatically from the
+sharding annotations (no NCCL machinery). BatchNorm batch statistics are
+computed over the *global* batch (an improvement over per-replica
+MirroredStrategy stats).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import ModelConfig, TrainConfig
+from ..models import scorer
+from ..models.layers import Params, State
+from .objective import build_targets, nann_loss
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Params
+    bn_state: State
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_train_state(rng: jax.Array, mcfg: ModelConfig, tcfg: TrainConfig
+                       ) -> Tuple[TrainState, optax.GradientTransformation]:
+    params, bn_state = scorer.init_scorer(rng, mcfg)
+    tx = optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay)
+    opt_state = tx.init(params)
+    return TrainState(params, bn_state, opt_state, jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
+                    tx: optax.GradientTransformation,
+                    item_features: Dict[str, jnp.ndarray],
+                    mesh: Optional[Mesh] = None) -> Callable:
+    """Build the jitted train step.
+
+    Args:
+        item_features: dict with "item_id", "cate_id" int32 [num_item] and
+            "weight_tag" float32 [num_item] popularity probabilities (the
+            reference's ub_items.npz contract, convert_UB_to_tfrecord.py:186-193).
+        mesh: optional device mesh with a "dp" axis; if given, the step is
+            compiled with the batch sharded over it.
+
+    Returns:
+        step(state, batch, rng) -> (new_state, metrics)
+    """
+    item_ids = item_features["item_id"].astype(jnp.int32)
+    cate_ids = item_features["cate_id"].astype(jnp.int32)
+    probs = item_features["weight_tag"].astype(jnp.float32)
+    log_probs = jnp.log(1e-20 + probs)
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array
+             ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng = jax.random.fold_in(rng, state.step)
+        targets = build_targets(rng, batch, item_ids, cate_ids,
+                                log_probs, probs, tcfg.num_neg)
+
+        def loss_fn(params):
+            return nann_loss(params, state.bn_state, mcfg, tcfg, batch, targets)
+
+        grads, (new_bn, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_bn, new_opt, state.step + 1)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    batch_sharding = {
+        "item_ids": NamedSharding(mesh, P("dp", None)),
+        "cate_ids": NamedSharding(mesh, P("dp", None)),
+        "gt_item_id": NamedSharding(mesh, P("dp")),
+        "gt_cate_id": NamedSharding(mesh, P("dp")),
+        "weight_tag": NamedSharding(mesh, P("dp")),
+    }
+    replicated = NamedSharding(mesh, P())
+    # params/opt_state replicated (prefix pytree broadcasts over the state)
+    return jax.jit(
+        step,
+        in_shardings=(replicated, batch_sharding, replicated),
+        donate_argnums=(0,),
+    )

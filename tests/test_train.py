@@ -1,0 +1,113 @@
+"""Training-step tests: loss decreases, FGSM is active, DP sharding matches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nann_tpu.config import ModelConfig, TrainConfig
+from nann_tpu.data import BatchIterator, synthetic_dataset
+from nann_tpu.train import create_train_state, make_train_step
+from nann_tpu.train.objective import build_targets, nann_loss
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mcfg = ModelConfig(num_item=300, num_cate=20, emb_dim=8,
+                       max_seq_length=10,
+                       item_tower_dims=(16, 16, 16), head_dims=(32, 16, 8, 1))
+    tcfg = TrainConfig(batch_size=32, num_neg=8, learning_rate=1e-3,
+                       adv_eps=1e-3)
+    train, test, feats = synthetic_dataset(num_item=300, num_cate=20,
+                                           num_users=100, max_seq_length=10,
+                                           samples_per_user=3)
+    feats = {k: jnp.asarray(v) for k, v in feats.items()}
+    return mcfg, tcfg, train, feats
+
+
+def _first_batch(train, n=32):
+    return {k: jnp.asarray(v[:n]) for k, v in train.items()}
+
+
+def test_loss_finite_and_metrics(setup):
+    mcfg, tcfg, train, feats = setup
+    state, tx = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg, tx, feats)
+    batch = _first_batch(train)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    for k in ("loss", "loss_xe", "loss_adv", "acc", "acc_origin"):
+        assert np.isfinite(float(metrics[k])), k
+    assert float(metrics["loss_adv"]) >= 0.0  # KL is nonnegative
+
+
+def test_loss_decreases_over_steps(setup):
+    mcfg, tcfg, train, feats = setup
+    state, tx = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    step = make_train_step(mcfg, tcfg, tx, feats)
+    it = BatchIterator(train, batch_size=32, epochs=20, seed=0)
+    losses = []
+    for i, batch in enumerate(it):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))
+        losses.append(float(metrics["loss_xe"]))
+        if i >= 60:
+            break
+    first, last = np.mean(losses[:5]), np.mean(losses[-5:])
+    assert last < first * 0.9, (first, last)
+
+
+def test_fgsm_changes_gradient(setup):
+    """adv_eps>0 must change the effective loss (the adversarial KL term)."""
+    mcfg, tcfg, train, feats = setup
+    state, tx = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    batch = _first_batch(train)
+    log_probs = jnp.log(1e-20 + feats["weight_tag"])
+    targets = build_targets(jax.random.PRNGKey(3), batch,
+                            feats["item_id"], feats["cate_id"],
+                            log_probs, feats["weight_tag"], tcfg.num_neg)
+    import dataclasses
+    tcfg_off = dataclasses.replace(tcfg, adv_eps=0.0)
+    loss_on, (_, m_on) = nann_loss(state.params, state.bn_state, mcfg, tcfg,
+                                   batch, targets)
+    loss_off, (_, m_off) = nann_loss(state.params, state.bn_state, mcfg,
+                                     tcfg_off, batch, targets)
+    assert float(m_on["loss_adv"]) > 0.0
+    assert float(m_off["loss_adv"]) == 0.0
+    np.testing.assert_allclose(float(m_on["loss_xe"]), float(m_off["loss_xe"]),
+                               rtol=1e-5)
+
+
+def test_dp_sharded_step_matches_single_device(setup):
+    """The pjit DP step over an 8-device mesh must produce (numerically) the
+    same update as the single-device step — virtual-device parity testing per
+    SURVEY.md §4.5."""
+    mcfg, tcfg, train, feats = setup
+    from jax.sharding import Mesh
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices, ("dp",))
+
+    state1, tx = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    state2, _ = create_train_state(jax.random.PRNGKey(0), mcfg, tcfg)
+
+    step_single = make_train_step(mcfg, tcfg, tx, feats)
+    step_dp = make_train_step(mcfg, tcfg, tx, feats, mesh=mesh)
+
+    batch = _first_batch(train, 32)
+    s1, m1 = step_single(state1, batch, jax.random.PRNGKey(9))
+    s2, m2 = step_dp(state2, batch, jax.random.PRNGKey(9))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    l1 = np.asarray(s1.params["head"][0]["dense"]["kernel"])
+    l2 = np.asarray(s2.params["head"][0]["dense"]["kernel"])
+    np.testing.assert_allclose(l1, l2, rtol=1e-3, atol=1e-6)
+
+
+def test_batch_iterator_epochs_and_shuffling(setup):
+    _, _, train, _ = setup
+    it = BatchIterator(train, batch_size=64, epochs=2, seed=1)
+    batches = list(it)
+    assert len(batches) == len(it)
+    assert batches[0]["item_ids"].shape == (64, 10)
+    # different epochs see different orderings
+    assert not np.array_equal(batches[0]["gt_item_id"],
+                              batches[len(batches) // 2]["gt_item_id"])
