@@ -1,0 +1,185 @@
+"""UserBehavior corpus conversion (native CSV parse + vectorised sampling).
+
+Replaces the reference converter (NANN_impls/nann/data_provider/
+convert_UB_to_tfrecord.py) with a two-stage pipeline:
+  1. native/dataio.cc parses the 100M-row CSV into columnar int arrays with
+     insertion-ordered dense id maps (the string-heavy part),
+  2. numpy groups by user, sorts by timestamp, and emits the same sample
+     contract: behavior prefixes 0-padded to max_length (ids 1-based,
+     0 = missing), gt item/cate, weight_tag = item popularity probability;
+     train = all prefixes with >= train_min_length history (:121-147), test/
+     validate = one midpoint sample per held-out user (:152-169).
+
+Output is packed .npz shards (not TFRecord — the TPU input pipeline feeds
+host numpy arrays straight into jit dispatch) plus the identical
+`ub_items.npz` + `ub_meta.json` side artifacts.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import json
+import os
+import subprocess
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..utils import get_logger
+
+logger = get_logger("nann_tpu.data")
+
+_LIB_PATH = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", "..",
+                                         "native", "libnann_dataio.so"))
+_lib = None
+
+
+def _load_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        subprocess.run(["make", "-C", os.path.dirname(_LIB_PATH),
+                        "libnann_dataio.so"], check=True, capture_output=True)
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.nann_csv_load.restype = ctypes.c_void_p
+    lib.nann_csv_load.argtypes = [ctypes.c_char_p]
+    lib.nann_csv_num_rows.restype = ctypes.c_int64
+    for fn in ("nann_csv_num_users", "nann_csv_num_items", "nann_csv_num_cates"):
+        getattr(lib, fn).restype = ctypes.c_int32
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.nann_csv_num_rows.argtypes = [ctypes.c_void_p]
+    lib.nann_csv_copy.argtypes = [ctypes.c_void_p] + \
+        [ctypes.POINTER(ctypes.c_int32)] * 3 + [ctypes.POINTER(ctypes.c_int64)]
+    lib.nann_csv_item_cate.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(ctypes.c_int32)]
+    lib.nann_csv_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def load_csv(path: str) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
+    """Parse the CSV natively. Returns (columns, item_cate) where columns has
+    user/item/cate (dense 0-based int32) and ts int64; item_cate maps dense
+    item id -> dense cate id."""
+    lib = _load_lib()
+    h = lib.nann_csv_load(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        n = lib.nann_csv_num_rows(h)
+        num_items = lib.nann_csv_num_items(h)
+        cols = {k: np.empty(n, np.int32) for k in ("user", "item", "cate")}
+        ts = np.empty(n, np.int64)
+        lib.nann_csv_copy(h, *(cols[k].ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)) for k in ("user", "item", "cate")),
+            ts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        cols["ts"] = ts
+        item_cate = np.empty(num_items, np.int32)
+        lib.nann_csv_item_cate(h, item_cate.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)))
+        meta = {"num_user": lib.nann_csv_num_users(h),
+                "num_item": num_items,
+                "num_cate": lib.nann_csv_num_cates(h)}
+        cols["_meta"] = meta  # type: ignore[assignment]
+        return cols, item_cate
+    finally:
+        lib.nann_csv_free(h)
+
+
+def convert_user_behavior(input_csv: str, output_dir: str,
+                          max_length: int = 50, train_min_length: int = 10,
+                          test_min_length: int = 7, num_test_user: int = 10000,
+                          num_validate_user: int = 10000, seed: int = 0) -> Dict:
+    """Full conversion to the training/eval artifact contract."""
+    os.makedirs(output_dir, exist_ok=True)
+    logger.info(f"parsing {input_csv} (native)")
+    cols, item_cate0 = load_csv(input_csv)
+    meta_counts = cols.pop("_meta")
+    num_item = meta_counts["num_item"]
+    num_cate = meta_counts["num_cate"]
+
+    # popularity over interactions (convert_UB_to_tfrecord.py:99-104)
+    counts = np.bincount(cols["item"], minlength=num_item).astype(np.float64)
+    weight_tag = (counts / counts.sum()).astype(np.float32)
+
+    # group rows by user, each user's items sorted by timestamp
+    logger.info("grouping by user / sorting by time")
+    order = np.lexsort((cols["ts"], cols["user"]))
+    users_sorted = cols["user"][order]
+    items_sorted = cols["item"][order]
+    user_starts = np.searchsorted(users_sorted,
+                                  np.arange(meta_counts["num_user"] + 1))
+
+    lengths = np.diff(user_starts)
+    eligible = np.nonzero(lengths > test_min_length)[0]
+    rng = np.random.default_rng(seed)
+    rng.shuffle(eligible)
+    test_users = eligible[:num_test_user]
+    validate_users = eligible[num_test_user:num_test_user + num_validate_user]
+    train_users = eligible[num_test_user + num_validate_user:]
+
+    def sample_rows(user_list, midpoint_only: bool):
+        rows_i, rows_c, gt_i, gt_c = [], [], [], []
+        for u in user_list:
+            s, e = user_starts[u], user_starts[u + 1]
+            behav = items_sorted[s:e]
+            if midpoint_only:
+                idxs = [test_min_length + (len(behav) - test_min_length) // 2]
+            else:
+                if len(behav) - 1 <= train_min_length:
+                    continue
+                idxs = range(train_min_length, len(behav) - 1)
+            for idx_gt in idxs:
+                lo = max(0, idx_gt - max_length)
+                seq = behav[lo:idx_gt]
+                row_i = np.zeros(max_length, np.int32)
+                row_c = np.zeros(max_length, np.int32)
+                row_i[:len(seq)] = seq + 1                  # 1-based
+                row_c[:len(seq)] = item_cate0[seq] + 1
+                rows_i.append(row_i)
+                rows_c.append(row_c)
+                gt_i.append(behav[idx_gt] + 1)
+                gt_c.append(item_cate0[behav[idx_gt]] + 1)
+        gt = np.array(gt_i, np.int32)
+        return {"item_ids": np.stack(rows_i) if rows_i else
+                np.zeros((0, max_length), np.int32),
+                "cate_ids": np.stack(rows_c) if rows_c else
+                np.zeros((0, max_length), np.int32),
+                "gt_item_id": gt,
+                "gt_cate_id": np.array(gt_c, np.int32),
+                "weight_tag": weight_tag[gt - 1] if len(gt) else
+                np.zeros(0, np.float32)}
+
+    logger.info("emitting splits")
+    splits = {
+        "train": sample_rows(train_users, False),
+        "test": sample_rows(test_users, True),
+        "validate": sample_rows(validate_users, True),
+    }
+    for name, data in splits.items():
+        perm = rng.permutation(len(data["gt_item_id"])) if name == "train" else \
+            np.arange(len(data["gt_item_id"]))
+        np.savez(os.path.join(output_dir, f"ub_{name}.npz"),
+                 **{k: v[perm] for k, v in data.items()})
+
+    np.savez(os.path.join(output_dir, "ub_items.npz"),
+             item_id=np.arange(1, num_item + 1, dtype=np.int32),
+             cate_id=item_cate0 + 1,
+             weight_tag=weight_tag)
+
+    meta = {
+        "num_item": int(num_item),
+        "num_cate": int(num_cate),
+        "num_train_samples": int(len(splits["train"]["gt_item_id"])),
+        "num_train_user": int(len(train_users)),
+        "num_test_user": int(len(test_users)),
+        "num_validate_user": int(len(validate_users)),
+        "max_length": max_length,
+        "train_min_length": train_min_length,
+        "test_min_length": test_min_length,
+    }
+    with open(os.path.join(output_dir, "ub_meta.json"), "w") as f:
+        json.dump(meta, f)
+    logger.info(f"wrote {meta}")
+    return meta
