@@ -1,0 +1,5 @@
+from .brute_force import brute_force_topk, make_brute_force_scorer
+from .beam import SearchIndex, make_searcher
+
+__all__ = ["brute_force_topk", "make_brute_force_scorer", "SearchIndex",
+           "make_searcher"]

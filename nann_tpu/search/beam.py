@@ -1,0 +1,225 @@
+"""Model-scored HNSW beam search as ONE fused XLA program.
+
+This is the serving compute path — the TPU-native re-design of the reference's
+two-graph architecture (outer CPU graph with custom ops + inner bucketed
+BlazeXlaOp scorer, NANN_impls/nann/delivery/build_opt_graph.py:69-149). The
+reference pays a host/device round trip and a pad-to-bucket per hop; here the
+entire multi-level search — neighbor expansion, visited filtering, DNN scoring,
+top-k merging — is a single jitted program with static shapes, so one
+compilation covers every request and nothing leaves the chip.
+
+How each reference mechanism maps:
+
+  BlazeXlaOp + 75 warmup buckets      -> static per-hop frontier caps inside
+                                         the one program (masked, no buckets)
+  BitmapRefDifference (visited set)   -> epoch-stamped uint8 visited buffer +
+                                         sort-based in-frontier dedup; per-level
+                                         reset is an epoch bump, not a memset
+  GroupGather (ragged neighbor fetch) -> dense fixed-degree gather
+                                         [cands, max_degree] (self-padded rows)
+  BlazeTopK / runtime level_topn      -> lax.top_k at the static cap + masking
+                                         positions >= the runtime k to -inf
+  set semantics of search_level       -> per-level candidate marking + visited
+                                         accumulation across hops in a level
+                                         (model.py:299-337 semantics)
+
+Request signature parity: search(user_seq_emb, level_topn) -> (top item ids,
+scores, num_scoring per hop) — the `comm_seq`/`level_topn` -> `top_k` contract
+of the exported exec graph, plus the reference's num_scoring efficiency metric
+(main.py:155-186).
+
+Batched queries are the same program under jax.vmap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, SearchConfig
+from ..models import scorer
+from ..models.layers import Params, State
+
+NEG_INF = jnp.float32(-jnp.inf)
+_UNVISITED = np.uint8(255)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SearchIndex:
+    """Device-resident retrieval state (a pytree, so it can be donated /
+    sharded / hot-swapped as a unit)."""
+
+    item_embs: jnp.ndarray           # [N, d_item]
+    item_ids: jnp.ndarray            # [N] external item ids
+    enter_points: jnp.ndarray        # [n_ep] int32 node indices
+    neighbors: Dict[int, jnp.ndarray]  # level -> [N, deg_l] int32, self-padded
+
+    @property
+    def num_items(self) -> int:
+        return self.item_embs.shape[0]
+
+    @staticmethod
+    def from_artifacts(art, item_embs: np.ndarray, item_ids: np.ndarray,
+                       dtype=jnp.float32) -> "SearchIndex":
+        return SearchIndex(
+            item_embs=jnp.asarray(item_embs, dtype),
+            item_ids=jnp.asarray(item_ids.astype(np.int32)),
+            enter_points=jnp.asarray(art.enter_points),
+            neighbors={l: jnp.asarray(v) for l, v in art.neighbors.items()},
+        )
+
+
+def level_topn_default(scfg: SearchConfig) -> np.ndarray:
+    """The default runtime search budget, shaped like the serving request's
+    level_topn input: [k_start, k per level start-1..1, k per level-0 hop,
+    k_final]."""
+    ks = [scfg.top_k_per_level[scfg.hnsw_start_level]]
+    for level in range(scfg.hnsw_start_level - 1, 0, -1):
+        ks.append(scfg.top_k_per_level[level])
+    ks.extend([scfg.top_k_per_level[0]] * scfg.num_scoring_per_level[0])
+    ks.append(max(scfg.topk_eval))
+    return np.asarray(ks, np.int32)
+
+
+def _masked_topk(ids: jnp.ndarray, scores: jnp.ndarray, k_static: int,
+                 k_runtime: jnp.ndarray, sentinel: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-shape top-k with the runtime budget applied as a mask
+    (runtime-k semantics of tf.math.top_k(level_topn[i]))."""
+    k_static = min(k_static, ids.shape[0])
+    top_scores, idx = jax.lax.top_k(scores, k_static)
+    top_ids = jnp.take(ids, idx)
+    pos = jnp.arange(k_static)
+    live = pos < k_runtime
+    return (jnp.where(live, top_ids, sentinel),
+            jnp.where(live, top_scores, NEG_INF))
+
+
+def make_searcher(mcfg: ModelConfig, scfg: SearchConfig):
+    """Build the fused search program.
+
+    Returns search(params, state, index, user_seq_emb, level_topn):
+        user_seq_emb [L, d_user] fp32, level_topn int32 vector (see
+        level_topn_default) ->
+        (top item ids [k_final_cap] int32 (-1 = empty slot),
+         top scores   [k_final_cap] fp32,
+         num_scoring  [hops] int32 — items scored per hop)
+
+    Wrap in jax.vmap(..., in_axes=(None, None, None, 0, None)) for batches.
+    """
+    scfg.validate()
+    start = scfg.hnsw_start_level
+    k_start_cap = scfg.top_k_per_level[start]
+    hop_caps = scfg.num_scoring_per_level[0]
+    k_hop_cap = scfg.top_k_per_level[0]
+    k_final_cap = max(max(scfg.topk_eval), 1)
+
+    def score_items(params, state, user_seq_emb, ids, valid, num_items,
+                    item_embs):
+        emb = jnp.take(item_embs, jnp.clip(ids, 0, num_items - 1), axis=0)
+        logits, _ = scorer.scorer_forward(
+            params, state, mcfg, user_seq_emb[None], emb[None], training=False)
+        return jnp.where(valid, logits[0].astype(jnp.float32), NEG_INF)
+
+    def expand_filter_score(params, state, index, user_seq_emb, vis, epoch,
+                            level, cand_ids, cand_scores, f_cap):
+        """One hop: neighbor expansion -> dedup + visited filter -> compaction
+        to f_cap -> DNN scoring. Returns (ids, scores, vis, scored_count)."""
+        n = index.item_embs.shape[0]
+        sentinel = n
+        nb_table = index.neighbors[level]
+        valid_cand = cand_scores > NEG_INF
+        nb = jnp.take(nb_table, jnp.clip(cand_ids, 0, n - 1), axis=0)
+        nb = jnp.where(valid_cand[:, None], nb, sentinel).reshape(-1)
+
+        f_cap = min(f_cap, nb.shape[0])
+        nb_sorted = jnp.sort(nb)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), nb_sorted[1:] != nb_sorted[:-1]])
+        unvisited = jnp.take(vis, jnp.clip(nb_sorted, 0, n)) != epoch
+        keep = first & unvisited & (nb_sorted < n)
+        num_fresh = jnp.sum(keep)
+
+        order = jnp.argsort(~keep, stable=True)[:f_cap]
+        fresh = jnp.take(nb_sorted, order)
+        fresh_valid = jnp.take(keep, order)
+        fresh = jnp.where(fresh_valid, fresh, sentinel)
+
+        # mark the selected (scored) nodes visited for this level's epoch;
+        # overflow beyond f_cap stays unvisited and may be rediscovered
+        vis = vis.at[fresh].set(epoch)  # sentinel writes land in slot n
+
+        scores = score_items(params, state, user_seq_emb, fresh, fresh_valid,
+                             n, index.item_embs)
+        return fresh, scores, vis, jnp.minimum(num_fresh, f_cap)
+
+    def search(params: Params, state: State, index: SearchIndex,
+               user_seq_emb: jnp.ndarray, level_topn: jnp.ndarray):
+        n = index.item_embs.shape[0]
+        sentinel = n
+        vis = jnp.full((n + 1,), _UNVISITED, jnp.uint8)
+        num_scoring: List[jnp.ndarray] = []
+
+        # --- start level: score all enter points (model.py:339-354) ---
+        ep = index.enter_points.astype(jnp.int32)
+        ep_scores = score_items(params, state, user_seq_emb, ep,
+                                jnp.ones(ep.shape, bool), n, index.item_embs)
+        num_scoring.append(jnp.asarray(ep.shape[0], jnp.int32))
+        res_ids, res_scores = _masked_topk(ep, ep_scores, k_start_cap,
+                                           level_topn[0], sentinel)
+
+        # --- intermediate levels start-1 .. 1 (one merged-topk hop each) ---
+        t = 1
+        cand_ids, cand_scores = res_ids, res_scores
+        for level in range(start - 1, 0, -1):
+            epoch = jnp.uint8(level)
+            vis = vis.at[jnp.where(cand_scores > NEG_INF, cand_ids,
+                                   sentinel)].set(epoch)
+            for _ in range(scfg.num_scoring_per_level[level]):
+                fresh, fscores, vis, cnt = expand_filter_score(
+                    params, state, index, user_seq_emb, vis, epoch, level,
+                    cand_ids, cand_scores, scfg.frontier_cap)
+                num_scoring.append(cnt)
+                merged_ids = jnp.concatenate([res_ids, fresh])
+                merged_scores = jnp.concatenate([res_scores, fscores])
+                res_ids, res_scores = _masked_topk(
+                    merged_ids, merged_scores, scfg.top_k_per_level[level],
+                    level_topn[t], sentinel)
+                cand_ids, cand_scores = res_ids, res_scores
+            t += 1
+
+        # --- ground level: fresh-topk hops, results accumulate
+        #     (build_opt_graph.py:128-141) ---
+        epoch = jnp.uint8(0)
+        vis = vis.at[jnp.where(cand_scores > NEG_INF, cand_ids,
+                               sentinel)].set(epoch)
+        buf_ids, buf_scores = [res_ids], [res_scores]
+        for i in range(hop_caps):
+            fresh, fscores, vis, cnt = expand_filter_score(
+                params, state, index, user_seq_emb, vis, epoch, 0,
+                cand_ids, cand_scores, scfg.frontier_cap)
+            num_scoring.append(cnt)
+            cand_ids, cand_scores = _masked_topk(
+                fresh, fscores, k_hop_cap, level_topn[t + i], sentinel)
+            buf_ids.append(cand_ids)
+            buf_scores.append(cand_scores)
+
+        # --- final merge (build_opt_graph.py:143-149) ---
+        all_ids = jnp.concatenate(buf_ids)
+        all_scores = jnp.concatenate(buf_scores)
+        final_ids, final_scores = _masked_topk(
+            all_ids, all_scores, k_final_cap, level_topn[-1], sentinel)
+        valid = final_scores > NEG_INF
+        top_items = jnp.where(
+            valid,
+            jnp.take(index.item_ids, jnp.clip(final_ids, 0, n - 1)),
+            -1)
+        return top_items, final_scores, jnp.stack(num_scoring)
+
+    return search
