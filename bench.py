@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""nann_tpu benchmark: model-scored HNSW retrieval throughput on one chip.
+
+Measures the serving compute path (the fused beam-search program) at the
+reference demo's model scale (emb_dim 32, seq len 50, item emb 64; search
+budget level_topn=[100,200,400,400,400,200] — NANN_impls/nann/benchmark/
+gen_runmeta.py:24) over a synthetic item corpus, and prints ONE JSON line:
+
+  {"metric": "search_qps_per_chip", "value": <batched QPS>,
+   "unit": "queries/s", "vs_baseline": <ratio vs bench_baseline.json>, ...}
+
+vs_baseline compares against the committed bench_baseline.json (the first
+recorded TPU measurement — the reference repo publishes no numbers, see
+BASELINE.md). Index build artifacts and XLA compilations are cached on disk
+(.bench_cache/, .jax_cache/) so repeat runs measure steady state.
+
+Usage: python bench.py [--quick] [--items N] [--batch B]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# persistent XLA compile cache (the reference's PTX/CUBIN-cache equivalent,
+# SURVEY.md §1 L0)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from nann_tpu.config import ModelConfig, SearchConfig  # noqa: E402
+from nann_tpu.index import build_and_save_index, load_index  # noqa: E402
+from nann_tpu.models import init_scorer  # noqa: E402
+from nann_tpu.search import SearchIndex, make_searcher  # noqa: E402
+from nann_tpu.search.beam import level_topn_default  # noqa: E402
+
+
+def build_setup(num_items: int, seed: int = 0):
+    mcfg = ModelConfig(num_item=num_items, num_cate=1000, emb_dim=32,
+                       max_seq_length=50, compute_dtype="bfloat16")
+    scfg = SearchConfig()  # reference defaults: levels (3,1,1), topk (400,200,100)
+    params, state = init_scorer(jax.random.PRNGKey(seed), mcfg)
+
+    rng = np.random.default_rng(seed)
+    item_embs = rng.standard_normal((num_items, mcfg.item_emb_dim)).astype(
+        np.float32)
+    item_ids = np.arange(1, num_items + 1, dtype=np.int32)
+
+    key = hashlib.md5(f"{num_items}-{seed}-M32".encode()).hexdigest()[:12]
+    cache_dir = os.path.join(REPO, ".bench_cache", key)
+    if not os.path.exists(os.path.join(cache_dir, "enter_points.npy")):
+        t0 = time.time()
+        build_and_save_index(item_embs, start_level=scfg.hnsw_start_level,
+                             num_neighbors=32, output_dir=cache_dir,
+                             ef_construction=100, seed=seed)
+        print(f"# index build: {time.time() - t0:.1f}s", file=sys.stderr)
+    art = load_index(cache_dir, start_level=scfg.hnsw_start_level,
+                     max_degree=64)
+    sidx = SearchIndex.from_artifacts(art, item_embs, item_ids,
+                                      dtype=jnp.bfloat16)
+    return mcfg, scfg, params, state, sidx
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--items", type=int,
+                    default=int(os.environ.get("NANN_BENCH_ITEMS", 200_000)))
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--quick", action="store_true",
+                    help="small corpus / few reps (smoke run)")
+    args = ap.parse_args()
+    if args.quick:
+        args.items = min(args.items, 20_000)
+        args.reps = 10
+
+    print(f"# devices: {jax.devices()}", file=sys.stderr)
+    mcfg, scfg, params, state, sidx = build_setup(args.items)
+
+    searcher = make_searcher(mcfg, scfg)
+    search1 = jax.jit(searcher)
+    searchB = jax.jit(jax.vmap(searcher, in_axes=(None, None, None, 0, None)))
+
+    rng = np.random.default_rng(1)
+    ltn = jnp.asarray(level_topn_default(scfg))
+    user1 = jnp.asarray(rng.standard_normal(
+        (mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32))
+    userB = jnp.asarray(rng.standard_normal(
+        (args.batch, mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32))
+
+    # warmup / compile
+    t0 = time.time()
+    out = search1(params, state, sidx, user1, ltn)
+    jax.block_until_ready(out)
+    print(f"# single-query compile+first run: {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    outB = searchB(params, state, sidx, userB, ltn)
+    jax.block_until_ready(outB)
+    print(f"# batched compile+first run: {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    # single-query latency distribution
+    lat = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(search1(params, state, sidx, user1, ltn))
+        lat.append(time.perf_counter() - t0)
+    lat_ms = np.asarray(lat) * 1e3
+    p50, p99 = np.percentile(lat_ms, [50, 99])
+
+    # batched throughput (back-to-back async dispatch)
+    n_iters = max(args.reps, 10)
+    jax.block_until_ready(searchB(params, state, sidx, userB, ltn))
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(n_iters):
+        last = searchB(params, state, sidx, userB, ltn)
+    jax.block_until_ready(last)
+    wall = time.perf_counter() - t0
+    qps = args.batch * n_iters / wall
+
+    num_scoring = int(np.asarray(out[2]).sum())
+
+    baseline_path = os.path.join(REPO, "bench_baseline.json")
+    vs_baseline = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("value"):
+            vs_baseline = qps / base["value"]
+
+    print(json.dumps({
+        "metric": "search_qps_per_chip",
+        "value": round(qps, 2),
+        "unit": "queries/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "latency_p50_ms": round(float(p50), 3),
+        "latency_p99_ms": round(float(p99), 3),
+        "batch": args.batch,
+        "num_items": args.items,
+        "num_scoring_per_query": num_scoring,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,219 @@
+"""The serving engine: batched dispatch of the fused retrieval program.
+
+TPU-native replacement for the reference's serving runtime (SURVEY.md §3.4):
+
+  reference mechanism                          -> engine equivalent
+  ------------------------------------------------------------------
+  BlazeXlaOp thread pool + admission deadline  -> request queue with wait_ms
+    (wait_ms, DENSE_MAX_WAITING_COUNT,            micro-batching window,
+     blaze_xla_kernel.cc:221-258)                 queue-cap rejection
+  75-bucket XLA warmup ladder                  -> query-batch bucket ladder,
+    (blaze_xla_predictor.cc:79-140)               all warmed at load
+  pad-to-bucket / slice-to-dynamic             -> pad batch to bucket, slice
+                                                  results per request
+  virtual GPUs / streams / MPS                 -> per-chip async dispatch:
+                                                  launch thread + completion
+                                                  thread keep >1 program in
+                                                  flight on the chip
+  ModelReloader double-buffer hot swap         -> swap() replaces the
+    (model.cc:384-476)                            (params, state, index) tuple
+                                                  atomically between batches
+
+The dynamic *frontier* has no bucket ladder at all — it is fused into the
+search program with static caps (see search/beam.py); the only runtime-dynamic
+axis left is the number of concurrent requests, which this engine buckets.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, SearchConfig
+from ..models.layers import Params, State
+from ..search import SearchIndex, make_searcher
+from ..search.beam import level_topn_default
+from ..utils import get_logger
+from .metrics import MetricsRegistry
+
+logger = get_logger("nann_tpu.serving")
+
+
+class RequestRejected(Exception):
+    """Deadline/queue admission rejection (reference DeadlineExceeded path)."""
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    batch_buckets: Sequence[int] = (1, 2, 4, 8, 16)
+    wait_ms: float = 5.0              # micro-batch window (opt_default.conf wait_ms)
+    max_queue: int = 256              # reject beyond this (max_queue_size)
+    warmup: bool = True
+
+
+@dataclasses.dataclass
+class _Request:
+    user_seq_emb: np.ndarray
+    level_topn: np.ndarray
+    future: Future
+    enqueue_t: float
+
+
+class Engine:
+    """Compiles the searcher per batch bucket and serves requests."""
+
+    def __init__(self, mcfg: ModelConfig, scfg: SearchConfig, params: Params,
+                 state: State, index: SearchIndex,
+                 config: Optional[EngineConfig] = None):
+        self.mcfg = mcfg
+        self.scfg = scfg
+        self.config = config or EngineConfig()
+        self.metrics = MetricsRegistry("nann")
+        self._model = (params, state, index)   # swapped atomically
+        self._model_lock = threading.Lock()
+
+        searcher = make_searcher(mcfg, scfg)
+        self._fns = {}
+        for b in sorted(self.config.batch_buckets):
+            self._fns[b] = jax.jit(jax.vmap(
+                searcher, in_axes=(None, None, None, 0, None)))
+        self._default_ltn = level_topn_default(scfg)
+
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._inflight: "queue.Queue[Tuple]" = queue.Queue(maxsize=4)
+        self._stop = threading.Event()
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           daemon=True)
+
+        if self.config.warmup:
+            self.warmup()
+        self._dispatcher.start()
+        self._completer.start()
+
+    # ------------------------------------------------------------- lifecycle
+
+    def warmup(self) -> None:
+        """Compile + run every batch bucket once (reference Warmup,
+        blaze_xla_predictor.cc:79-140)."""
+        params, state, index = self._model
+        rng = np.random.default_rng(0)
+        ltn = jnp.asarray(self._default_ltn)
+        for b in self._fns:
+            t0 = time.time()
+            user = jnp.asarray(rng.standard_normal(
+                (b, self.mcfg.max_seq_length, self.mcfg.user_emb_dim)
+            ).astype(np.float32))
+            jax.block_until_ready(self._fns[b](params, state, index, user, ltn))
+            logger.info(f"warmup bucket B={b}: {time.time() - t0:.2f}s")
+
+    def swap_model(self, params: Params, state: State,
+                   index: SearchIndex) -> None:
+        """Hot model swap between batches (double-buffer semantics: requests
+        already dispatched finish on the old model)."""
+        with self._model_lock:
+            self._model = (params, state, index)
+        logger.info("model swapped")
+
+    def shutdown(self) -> None:
+        self._stop.set()
+        self._dispatcher.join(timeout=2)
+        self._completer.join(timeout=2)
+
+    # --------------------------------------------------------------- serving
+
+    def submit(self, user_seq_emb: np.ndarray,
+               level_topn: Optional[np.ndarray] = None) -> Future:
+        """Enqueue one request; the Future resolves to
+        (top_item_ids [k], scores [k]) with invalid slots stripped."""
+        fut: Future = Future()
+        if self._queue.qsize() >= self.config.max_queue:
+            self.metrics.rejected.mark()
+            fut.set_exception(RequestRejected("queue full"))
+            return fut
+        ltn = self._default_ltn if level_topn is None else \
+            np.asarray(level_topn, np.int32)
+        self._queue.put(_Request(np.asarray(user_seq_emb, np.float32),
+                                 ltn, fut, time.perf_counter()))
+        return fut
+
+    def search_sync(self, user_seq_emb: np.ndarray,
+                    level_topn: Optional[np.ndarray] = None, timeout: float = 30):
+        return self.submit(user_seq_emb, level_topn).result(timeout=timeout)
+
+    # ------------------------------------------------------------- internals
+
+    def _take_batch(self) -> Optional[list]:
+        """Collect up to max-bucket requests within the wait_ms window."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return None
+        batch = [first]
+        max_b = max(self._fns)
+        deadline = time.perf_counter() + self.config.wait_ms / 1e3
+        while len(batch) < max_b:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                batch.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return batch
+
+    def _dispatch_loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._take_batch()
+            if not batch:
+                continue
+            # requests sharing a level_topn run together; split odd ones off
+            ltn0 = batch[0].level_topn
+            same = [r for r in batch if np.array_equal(r.level_topn, ltn0)]
+            rest = [r for r in batch if not np.array_equal(r.level_topn, ltn0)]
+            for r in rest:
+                self._queue.put(r)
+            batch = same
+
+            bucket = min(b for b in self._fns if b >= len(batch))
+            users = np.zeros((bucket, self.mcfg.max_seq_length,
+                              self.mcfg.user_emb_dim), np.float32)
+            for i, r in enumerate(batch):
+                users[i] = r.user_seq_emb
+            with self._model_lock:
+                params, state, index = self._model
+            out = self._fns[bucket](params, state, index,
+                                    jnp.asarray(users), jnp.asarray(ltn0))
+            self._inflight.put((batch, out))  # async: device still computing
+            self.metrics.batch_size.update(len(batch))
+
+    def _complete_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                batch, out = self._inflight.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                items, scores, _ = jax.block_until_ready(out)
+                items = np.asarray(items)
+                scores = np.asarray(scores)
+                now = time.perf_counter()
+                for i, r in enumerate(batch):
+                    valid = items[i] >= 0
+                    r.future.set_result((items[i][valid], scores[i][valid]))
+                    self.metrics.latency_us.update((now - r.enqueue_t) * 1e6)
+                self.metrics.throughput.mark(len(batch))
+            except Exception as e:  # noqa: BLE001 — report per-request
+                self.metrics.failures.mark(len(batch))
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)

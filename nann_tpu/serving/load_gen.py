@@ -1,0 +1,85 @@
+"""Load generator: the blaze-benchmark equivalent.
+
+Reference harness (blaze-benchmark/benchmark/core/benchmark.cc:25-149 +
+predict_request_{producer,consumer}.cc): N producer threads generate requests
+at a target QPS (-1 = unbounded), consumers measure per-request wall time;
+metrics (throughput, latency histogram, batch-size histogram, drops) print
+every 3 s for `duration` seconds.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from .engine import Engine, RequestRejected
+
+
+@dataclasses.dataclass
+class LoadGenConfig:
+    duration_s: float = 10.0
+    qps: float = -1.0                # -1 = max pressure (reference qps:-1)
+    num_producers: int = 4           # predictor_num=4 / thread_count=4
+    report_interval_s: float = 3.0
+    seed: int = 0
+
+
+def run_load_test(engine: Engine, config: LoadGenConfig,
+                  verbose: bool = True) -> Dict[str, float]:
+    """Drive the engine; returns summary metrics."""
+    stop = threading.Event()
+    mcfg = engine.mcfg
+    inflight_sem = threading.Semaphore(engine.config.max_queue)
+
+    def producer(tid: int):
+        rng = np.random.default_rng(config.seed + tid)
+        per_thread_qps = (config.qps / config.num_producers
+                          if config.qps > 0 else None)
+        next_t = time.perf_counter()
+        while not stop.is_set():
+            if per_thread_qps:
+                now = time.perf_counter()
+                if now < next_t:
+                    time.sleep(min(next_t - now, 0.05))
+                    continue
+                next_t += 1.0 / per_thread_qps
+            user = rng.standard_normal(
+                (mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32)
+            if not inflight_sem.acquire(timeout=0.1):
+                continue
+            fut = engine.submit(user)
+            fut.add_done_callback(lambda _f: inflight_sem.release())
+
+    threads = [threading.Thread(target=producer, args=(t,), daemon=True)
+               for t in range(config.num_producers)]
+    if verbose:
+        engine.metrics.start_reporter(config.report_interval_s)
+    t0 = time.monotonic()
+    for t in threads:
+        t.start()
+    time.sleep(config.duration_s)
+    stop.set()
+    for t in threads:
+        t.join(timeout=1)
+    wall = time.monotonic() - t0
+    # drain
+    time.sleep(0.3)
+    if verbose:
+        engine.metrics.stop_reporter()
+
+    lat = engine.metrics.latency_us.snapshot()
+    bs = engine.metrics.batch_size.snapshot()
+    return {
+        "qps": engine.metrics.throughput.count / wall,
+        "total": engine.metrics.throughput.count,
+        "rejected": engine.metrics.rejected.count,
+        "failures": engine.metrics.failures.count,
+        "latency_p50_us": lat["p50"],
+        "latency_p99_us": lat["p99"],
+        "mean_batch": bs["mean"],
+        "duration_s": wall,
+    }

@@ -46,7 +46,8 @@ def create_train_state(rng: jax.Array, mcfg: ModelConfig, tcfg: TrainConfig
 def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
                     tx: optax.GradientTransformation,
                     item_features: Dict[str, jnp.ndarray],
-                    mesh: Optional[Mesh] = None) -> Callable:
+                    mesh: Optional[Mesh] = None,
+                    state_shardings: Optional[Any] = None) -> Callable:
     """Build the jitted train step.
 
     Args:
@@ -90,9 +91,14 @@ def make_train_step(mcfg: ModelConfig, tcfg: TrainConfig,
         "weight_tag": NamedSharding(mesh, P("dp")),
     }
     replicated = NamedSharding(mesh, P())
-    # params/opt_state replicated (prefix pytree broadcasts over the state)
+    # default: params/opt_state replicated (prefix pytree broadcasts over the
+    # state). Pass state_shardings (e.g. parallel.train_state_shardings) for
+    # row-sharded embedding tables — XLA turns the table lookups/updates into
+    # collective gathers/scatters over "mp".
+    if state_shardings is None:
+        state_shardings = replicated
     return jax.jit(
         step,
-        in_shardings=(replicated, batch_sharding, replicated),
+        in_shardings=(state_shardings, batch_sharding, replicated),
         donate_argnums=(0,),
     )
