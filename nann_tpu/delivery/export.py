@@ -1,0 +1,104 @@
+"""Delivery export/import: trained checkpoint -> serving artifacts.
+
+The TPU analogue of the reference delivery pipeline (freeze + convert +
+SavedModel, NANN_impls/nann/delivery/convert_meta.py + pb_to_saved_model.py):
+
+  export_dir/
+    scorer_params.npz   flattened scorer params (serving needs att/head/tower;
+                        tables included for user-embedding service)
+    bn_state.npz        folded eval-mode batch-norm statistics
+    model_config.json   architecture config (the frozen graph's shape contract)
+    item_ids.npy, item_embs.npy          catalogue + embeddings (fp16 on disk,
+                                         like convert_meta's float->half pass)
+    index/...                            HNSW npy artifact contract
+    signature.json      request schema: comm_seq [1, L*d] fp16 + level_topn
+                        int32 -> top_k (README.md smoke-test contract)
+
+Everything is flat npy/json — no graph serialisation is needed because the
+"graph" is re-traced from code + config at load (JAX's jit replaces the
+frozen GraphDef).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, SearchConfig
+from ..models.layers import Params, State
+from ..utils import get_logger
+
+logger = get_logger("nann_tpu.delivery")
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix.rstrip("/")] = np.asarray(tree)
+    return out
+
+
+def _unflatten_into(template, flat, prefix=""):
+    if isinstance(template, dict):
+        return {k: _unflatten_into(v, flat, f"{prefix}{k}/")
+                for k, v in template.items()}
+    if isinstance(template, (list, tuple)):
+        return type(template)(_unflatten_into(v, flat, f"{prefix}{i}/")
+                              for i, v in enumerate(template))
+    return jnp.asarray(flat[prefix.rstrip("/")])
+
+
+def export_model(export_dir: str, params: Params, state: State,
+                 mcfg: ModelConfig, scfg: SearchConfig,
+                 item_ids: np.ndarray = None, item_embs: np.ndarray = None
+                 ) -> None:
+    os.makedirs(export_dir, exist_ok=True)
+    np.savez(os.path.join(export_dir, "scorer_params.npz"), **_flatten(params))
+    np.savez(os.path.join(export_dir, "bn_state.npz"), **_flatten(state))
+    with open(os.path.join(export_dir, "model_config.json"), "w") as f:
+        json.dump(dataclasses.asdict(mcfg), f)
+    with open(os.path.join(export_dir, "signature.json"), "w") as f:
+        json.dump({
+            "inputs": {
+                "comm_seq": {"dtype": "float16",
+                             "shape": [1, mcfg.max_seq_length * mcfg.user_emb_dim]},
+                "level_topn": {"dtype": "int32",
+                               "shape": [len_level_topn(scfg)]},
+            },
+            "outputs": {"top_k": {"dtype": "int32",
+                                  "shape": [1, max(scfg.topk_eval)]}},
+        }, f)
+    if item_ids is not None:
+        np.save(os.path.join(export_dir, "item_ids.npy"), item_ids)
+    if item_embs is not None:
+        # fp16 on disk like the reference's convert_feed_input_float2half
+        np.save(os.path.join(export_dir, "item_embs.npy"),
+                item_embs.astype(np.float16))
+    logger.info(f"exported model to {export_dir}")
+
+
+def len_level_topn(scfg: SearchConfig) -> int:
+    return 1 + (scfg.hnsw_start_level - 1) + scfg.num_scoring_per_level[0] + 1
+
+
+def load_exported(export_dir: str, template_params: Params,
+                  template_state: State) -> Tuple[Params, State, ModelConfig]:
+    with open(os.path.join(export_dir, "model_config.json")) as f:
+        mcfg = ModelConfig(**json.load(f))
+    pz = dict(np.load(os.path.join(export_dir, "scorer_params.npz")))
+    sz = dict(np.load(os.path.join(export_dir, "bn_state.npz")))
+    params = _unflatten_into(template_params, pz)
+    state = _unflatten_into(template_state, sz)
+    return params, state, mcfg

@@ -1,0 +1,353 @@
+"""nann_tpu job driver — CLI parity with the reference's main.py.
+
+Jobs (reference NANN_impls/main.py:240-323 + delivery scripts):
+  train            adversarial training with checkpointing/auto-resume
+  extract_feature  item tower over the catalogue -> item_ids.npy/item_embs.npy
+  build_index      HNSW over item_embs -> npy artifact contract
+  test             HNSW+DNN retrieval eval: P/R/F1@topk vs ground truth,
+                   num_scoring efficiency metric
+  test_all         brute-force oracle eval (the recall ceiling)
+  export           delivery export (serving artifacts)
+  serve_bench      load-test the serving engine on the exported artifacts
+  all              the full pipeline in order (synthetic data by default)
+
+Examples:
+  python -m nann_tpu.main --job-type all --synthetic --num-item 5000
+  python -m nann_tpu.main --job-type train --dataset-dir data/ --output-root out/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .config import Config, ModelConfig, SearchConfig, TrainConfig
+from .utils import AverageMeter, calc_pr, get_logger
+
+logger = get_logger("nann_tpu.main")
+
+
+def parse_opt(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        "nann_tpu driver", formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("--job-type", default="train",
+                   choices=["train", "extract_feature", "build_index", "test",
+                            "test_all", "export", "serve_bench", "all"])
+    p.add_argument("--output-root", default="./output")
+    p.add_argument("--dataset-dir", default="./data")
+    p.add_argument("--synthetic", action="store_true",
+                   help="use the synthetic dataset generator instead of a "
+                        "converted UserBehavior corpus")
+    # model / train (reference defaults, nann/config.py:22-42)
+    p.add_argument("--batch-size", type=int, default=800)
+    p.add_argument("--train-epochs", type=int, default=5)
+    p.add_argument("--emb-dim", type=int, default=32)
+    p.add_argument("--learning-rate", type=float, default=3e-3)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--adv-eps", type=float, default=3e-5)
+    p.add_argument("--adv-weight", type=float, default=1.0)
+    p.add_argument("--num-neg", type=int, default=200)
+    p.add_argument("--save-freq", type=int, default=5000)
+    p.add_argument("--print-freq", type=int, default=50)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--dp", type=int, default=1, help="data-parallel shards")
+    # synthetic scale
+    p.add_argument("--num-item", type=int, default=5000)
+    p.add_argument("--num-cate", type=int, default=50)
+    p.add_argument("--num-users", type=int, default=500)
+    p.add_argument("--max-seq-length", type=int, default=20)
+    # search (reference nann/config.py:50-57)
+    p.add_argument("--hnsw-start-level", type=int, default=2)
+    p.add_argument("--num-scoring-per-level", type=int, nargs="+",
+                   default=[3, 1, 1])
+    p.add_argument("--top-k-per-level", type=int, nargs="+",
+                   default=[400, 200, 100])
+    p.add_argument("--topk-eval", type=int, nargs="+", default=[200])
+    p.add_argument("--num-test-batch", type=int, default=10000)
+    p.add_argument("--frontier-cap", type=int, default=4096)
+    p.add_argument("--hnsw-num-neighbors", type=int, default=32)
+    p.add_argument("--ef-construction", type=int, default=200)
+    p.add_argument("--search-batch", type=int, default=16)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 scorer compute")
+    return p.parse_args(argv)
+
+
+def build_configs(args) -> Tuple[ModelConfig, TrainConfig, SearchConfig]:
+    meta_path = os.path.join(args.dataset_dir, "ub_meta.json")
+    if not args.synthetic and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        num_item, num_cate = meta["num_item"], meta["num_cate"]
+        max_len = meta["max_length"]
+    else:
+        num_item, num_cate, max_len = (args.num_item, args.num_cate,
+                                       args.max_seq_length)
+    mcfg = ModelConfig(
+        num_item=num_item, num_cate=num_cate, emb_dim=args.emb_dim,
+        max_seq_length=max_len,
+        item_tower_dims=(2 * args.emb_dim,) * 3,
+        compute_dtype="bfloat16" if args.bf16 else "float32")
+    tcfg = TrainConfig(
+        batch_size=args.batch_size, train_epochs=args.train_epochs,
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        adv_eps=args.adv_eps, adv_weight=args.adv_weight,
+        num_neg=min(args.num_neg, max(num_item // args.batch_size, 1)),
+        save_freq=args.save_freq, print_freq=args.print_freq, dp=args.dp)
+    k = args.hnsw_start_level
+    scfg = SearchConfig(
+        hnsw_start_level=k,
+        num_scoring_per_level=tuple(args.num_scoring_per_level),
+        top_k_per_level=tuple(min(t, num_item) for t in args.top_k_per_level),
+        topk_eval=tuple(min(t, num_item) for t in args.topk_eval),
+        frontier_cap=args.frontier_cap)
+    return mcfg, tcfg, scfg
+
+
+def load_dataset(args) -> Tuple[Dict, Dict, Dict]:
+    """Returns (train, test, item_features) dict-of-arrays."""
+    if args.synthetic:
+        from .data import synthetic_dataset
+        return synthetic_dataset(
+            num_item=args.num_item, num_cate=args.num_cate,
+            num_users=args.num_users, max_seq_length=args.max_seq_length,
+            seed=0)
+    def load_npz(name):
+        return dict(np.load(os.path.join(args.dataset_dir, name)))
+    return (load_npz("ub_train.npz"), load_npz("ub_test.npz"),
+            load_npz("ub_items.npz"))
+
+
+class Paths:
+    def __init__(self, root):
+        def mk(p):
+            os.makedirs(p, exist_ok=True)
+            return p
+        self.model_save_dir = mk(os.path.join(root, "model"))
+        emb = mk(os.path.join(root, "embeddings"))
+        self.item_ids_file = os.path.join(emb, "item_ids.npy")
+        self.item_embs_file = os.path.join(emb, "item_embs.npy")
+        self.index_dir = mk(os.path.join(root, "index"))
+        self.export_dir = mk(os.path.join(root, "export"))
+
+
+def _restore(mcfg, tcfg, paths):
+    import jax
+    from .train import create_train_state
+    from .train.dataclasses_io import restore_train_state
+    from .train.loop import latest_checkpoint_step
+
+    state, tx = create_train_state(jax.random.PRNGKey(tcfg.seed), mcfg, tcfg)
+    step = latest_checkpoint_step(paths.model_save_dir)
+    if step is not None:
+        logger.info(f"restoring checkpoint step_{step}")
+        state = restore_train_state(
+            os.path.join(paths.model_save_dir, f"step_{step}"), state)
+    else:
+        logger.info("no checkpoint found; using fresh init")
+    return state
+
+
+def job_train(args, mcfg, tcfg, scfg, paths):
+    from .parallel import make_mesh
+    from .train.loop import train_loop
+
+    train, _test, feats = load_dataset(args)
+    mesh = make_mesh(dp=tcfg.dp, mp=1) if tcfg.dp > 1 else None
+    state, metrics = train_loop(mcfg, tcfg, train, feats,
+                                ckpt_dir=paths.model_save_dir,
+                                num_steps=args.max_steps, mesh=mesh)
+    logger.info(f"train done: {metrics}")
+    return state
+
+
+def job_extract(args, mcfg, tcfg, scfg, paths):
+    from .delivery import extract_item_embeddings
+
+    _train, _test, feats = load_dataset(args)
+    state = _restore(mcfg, tcfg, paths)
+    item_ids, item_embs = extract_item_embeddings(
+        state.params, state.bn_state, mcfg, feats)
+    np.save(paths.item_ids_file, item_ids)
+    np.save(paths.item_embs_file, item_embs)
+    logger.info(f"saved {item_embs.shape} embeddings to {paths.item_embs_file}")
+
+
+def job_build_index(args, mcfg, tcfg, scfg, paths):
+    from .index import build_and_save_index
+
+    item_embs = np.load(paths.item_embs_file)
+    build_and_save_index(item_embs, scfg.hnsw_start_level,
+                         args.hnsw_num_neighbors, paths.index_dir,
+                         ef_construction=args.ef_construction)
+
+
+def _load_search_index(args, mcfg, scfg, paths):
+    import jax.numpy as jnp
+    from .index import load_index
+    from .search import SearchIndex
+
+    item_embs = np.load(paths.item_embs_file)
+    item_ids = np.load(paths.item_ids_file)
+    art = load_index(paths.index_dir, scfg.hnsw_start_level,
+                     max_degree=2 * args.hnsw_num_neighbors)
+    dtype = jnp.bfloat16 if mcfg.compute_dtype == "bfloat16" else jnp.float32
+    return SearchIndex.from_artifacts(art, item_embs, item_ids, dtype=dtype)
+
+
+def job_test(args, mcfg, tcfg, scfg, paths):
+    """HNSW+DNN retrieval eval (reference test(), main.py:144-188)."""
+    import jax
+    import jax.numpy as jnp
+    from .delivery import extract_user_embeddings
+    from .search import make_searcher
+    from .search.beam import level_topn_default
+
+    _train, test, _feats = load_dataset(args)
+    state = _restore(mcfg, tcfg, paths)
+    sidx = _load_search_index(args, mcfg, scfg, paths)
+
+    n_users = min(args.num_test_batch, len(test["gt_item_id"]))
+    search = jax.jit(jax.vmap(make_searcher(mcfg, scfg),
+                              in_axes=(None, None, None, 0, None)))
+    ltn = jnp.asarray(level_topn_default(scfg))
+
+    meters = {k: {t: AverageMeter(n, ":.2%") for t in args.topk_eval}
+              for k, n in (("prec", "prec"), ("recall", "recall"), ("f1", "f1"))}
+    bt = AverageMeter("batch_time", ":.2f", moving_average=True)
+    all_scoring = []
+    B = args.search_batch
+    tic = time.time()
+    for start in range(0, n_users, B):
+        end = min(start + B, n_users)
+        batch = {k: test[k][start:end] for k in test}
+        user = extract_user_embeddings(state.params, batch)
+        pad = B - (end - start)
+        if pad:
+            user = np.concatenate([user, np.zeros((pad,) + user.shape[1:],
+                                                  np.float32)])
+        top_items, _scores, num_scoring = search(
+            state.params, state.bn_state, sidx, jnp.asarray(user), ltn)
+        top_items = np.asarray(top_items)[:end - start]
+        all_scoring.append(np.asarray(num_scoring)[:end - start])
+        bt.update(time.time() - tic)
+        tic = time.time()
+        for u in range(end - start):
+            got = top_items[u][top_items[u] >= 0]
+            for topk in args.topk_eval:
+                prec, recall, f1 = calc_pr(batch["gt_item_id"][u], got[:topk])
+                meters["prec"][topk].update(prec)
+                meters["recall"][topk].update(recall)
+                meters["f1"][topk].update(f1)
+        if (start // B) % max(args.print_freq // B, 1) == 0:
+            t0 = args.topk_eval[0]
+            logger.info(f"[{end}/{n_users}] {meters['recall'][t0]} "
+                        f"{meters['prec'][t0]} {bt}")
+    ns = np.concatenate(all_scoring)
+    for topk in args.topk_eval:
+        logger.info(f"Test Recall@{topk} {meters['recall'][topk].avg:.2%}, "
+                    f"num_scoring {ns.sum(-1).mean():.0f}")
+    logger.info(f"num scoring per hop: mean {ns.mean(0)}, max {ns.max(0)}")
+    return {f"recall@{t}": meters["recall"][t].avg for t in args.topk_eval}
+
+
+def job_test_all(args, mcfg, tcfg, scfg, paths):
+    """Brute-force oracle eval (reference test_all(), main.py:194-237)."""
+    import jax.numpy as jnp
+    from .delivery import extract_user_embeddings
+    from .search import make_brute_force_scorer
+
+    _train, test, _feats = load_dataset(args)
+    state = _restore(mcfg, tcfg, paths)
+    item_embs = jnp.asarray(np.load(paths.item_embs_file))
+    item_ids = np.load(paths.item_ids_file)
+
+    n_users = min(args.num_test_batch, len(test["gt_item_id"]))
+    k = max(args.topk_eval)
+    oracle = make_brute_force_scorer(mcfg, chunk_size=8192, k=k)
+    meters = {t: AverageMeter("recall", ":.2%") for t in args.topk_eval}
+    B = args.search_batch
+    for start in range(0, n_users, B):
+        end = min(start + B, n_users)
+        batch = {key: test[key][start:end] for key in test}
+        user = extract_user_embeddings(state.params, batch)
+        idx, _ = oracle(state.params, state.bn_state, jnp.asarray(user),
+                        item_embs)
+        retrieved = item_ids[np.asarray(idx)]
+        for u in range(end - start):
+            for topk in args.topk_eval:
+                _p, recall, _f = calc_pr(batch["gt_item_id"][u],
+                                         retrieved[u][:topk])
+                meters[topk].update(recall)
+        if (start // B) % max(args.print_freq // B, 1) == 0:
+            t0 = args.topk_eval[0]
+            logger.info(f"[{end}/{n_users}] {meters[t0]}")
+    for topk in args.topk_eval:
+        logger.info(f"Test-all Recall@{topk} {meters[topk].avg:.2%}")
+    return {f"recall@{t}": meters[t].avg for t in args.topk_eval}
+
+
+def job_export(args, mcfg, tcfg, scfg, paths):
+    from .delivery import export_model
+
+    state = _restore(mcfg, tcfg, paths)
+    item_ids = np.load(paths.item_ids_file) if \
+        os.path.exists(paths.item_ids_file) else None
+    item_embs = np.load(paths.item_embs_file) if \
+        os.path.exists(paths.item_embs_file) else None
+    export_model(paths.export_dir, state.params, state.bn_state, mcfg, scfg,
+                 item_ids, item_embs)
+    # copy index artifacts into the export bundle
+    import shutil
+    dst = os.path.join(paths.export_dir, "index")
+    if os.path.exists(os.path.join(paths.index_dir, "enter_points.npy")):
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(paths.index_dir):
+            shutil.copy(os.path.join(paths.index_dir, f), dst)
+
+
+def job_serve_bench(args, mcfg, tcfg, scfg, paths):
+    from .serving import Engine, EngineConfig, LoadGenConfig, run_load_test
+
+    state = _restore(mcfg, tcfg, paths)
+    sidx = _load_search_index(args, mcfg, scfg, paths)
+    engine = Engine(mcfg, scfg, state.params, state.bn_state, sidx,
+                    EngineConfig(batch_buckets=(1, 4, args.search_batch)))
+    res = run_load_test(engine, LoadGenConfig(duration_s=10.0, qps=-1))
+    engine.shutdown()
+    logger.info(f"serve_bench: {res}")
+    return res
+
+
+JOBS = {
+    "train": job_train,
+    "extract_feature": job_extract,
+    "build_index": job_build_index,
+    "test": job_test,
+    "test_all": job_test_all,
+    "export": job_export,
+    "serve_bench": job_serve_bench,
+}
+
+
+def main(argv=None):
+    args = parse_opt(argv)
+    mcfg, tcfg, scfg, = build_configs(args)
+    paths = Paths(args.output_root)
+    logger.info(f"job={args.job_type} model={mcfg} train={tcfg} search={scfg}")
+    if args.job_type == "all":
+        for name in ("train", "extract_feature", "build_index", "test_all",
+                     "test", "export"):
+            logger.info(f"=== {name} ===")
+            JOBS[name](args, mcfg, tcfg, scfg, paths)
+    else:
+        JOBS[args.job_type](args, mcfg, tcfg, scfg, paths)
+
+
+if __name__ == "__main__":
+    main()
