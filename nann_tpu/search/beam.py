@@ -101,7 +101,8 @@ def _masked_topk(ids: jnp.ndarray, scores: jnp.ndarray, k_static: int,
             jnp.where(live, top_scores, NEG_INF))
 
 
-def make_searcher(mcfg: ModelConfig, scfg: SearchConfig):
+def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
+                  _filter: bool = True, _score: bool = True):
     """Build the fused search program.
 
     Returns search(params, state, index, user_seq_emb, level_topn):
@@ -123,6 +124,9 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig):
     def score_items(params, state, user_seq_emb, ids, valid, num_items,
                     item_embs):
         emb = jnp.take(item_embs, jnp.clip(ids, 0, num_items - 1), axis=0)
+        if not _score:  # benchmarking stub: isolate non-scorer cost
+            return jnp.where(valid, jnp.sum(emb, -1, dtype=jnp.float32),
+                             NEG_INF)
         logits, _ = scorer.scorer_forward(
             params, state, mcfg, user_seq_emb[None], emb[None], training=False)
         return jnp.where(valid, logits[0].astype(jnp.float32), NEG_INF)
@@ -139,6 +143,13 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig):
         nb = jnp.where(valid_cand[:, None], nb, sentinel).reshape(-1)
 
         f_cap = min(f_cap, nb.shape[0])
+        if not _filter:  # benchmarking stub: isolate filter cost
+            fresh = nb[:f_cap]
+            fresh_valid = fresh < n
+            fresh = jnp.where(fresh_valid, fresh, sentinel)
+            scores = score_items(params, state, user_seq_emb, fresh,
+                                 fresh_valid, n, index.item_embs)
+            return fresh, scores, vis, jnp.sum(fresh_valid)
         nb_sorted = jnp.sort(nb)
         first = jnp.concatenate(
             [jnp.ones((1,), bool), nb_sorted[1:] != nb_sorted[:-1]])
@@ -152,8 +163,11 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig):
         fresh = jnp.where(fresh_valid, fresh, sentinel)
 
         # mark the selected (scored) nodes visited for this level's epoch;
-        # overflow beyond f_cap stays unvisited and may be rediscovered
-        vis = vis.at[fresh].set(epoch)  # sentinel writes land in slot n
+        # overflow beyond f_cap stays unvisited and may be rediscovered.
+        # fresh is sorted+unique by construction — the flags let XLA emit a
+        # vectorized scatter instead of a serial loop
+        vis = vis.at[fresh].set(epoch, unique_indices=True,
+                                indices_are_sorted=True)
 
         scores = score_items(params, state, user_seq_emb, fresh, fresh_valid,
                              n, index.item_embs)
@@ -180,7 +194,7 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig):
         for level in range(start - 1, 0, -1):
             epoch = jnp.uint8(level)
             vis = vis.at[jnp.where(cand_scores > NEG_INF, cand_ids,
-                                   sentinel)].set(epoch)
+                                   sentinel)].set(epoch, unique_indices=True)
             for _ in range(scfg.num_scoring_per_level[level]):
                 fresh, fscores, vis, cnt = expand_filter_score(
                     params, state, index, user_seq_emb, vis, epoch, level,
@@ -198,7 +212,7 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig):
         #     (build_opt_graph.py:128-141) ---
         epoch = jnp.uint8(0)
         vis = vis.at[jnp.where(cand_scores > NEG_INF, cand_ids,
-                               sentinel)].set(epoch)
+                               sentinel)].set(epoch, unique_indices=True)
         buf_ids, buf_scores = [res_ids], [res_scores]
         for i in range(hop_caps):
             fresh, fscores, vis, cnt = expand_filter_score(
