@@ -101,7 +101,49 @@ def _masked_topk(ids: jnp.ndarray, scores: jnp.ndarray, k_static: int,
             jnp.where(live, top_scores, NEG_INF))
 
 
+class LocalBackend:
+    """Single-device index access: plain gathers and a full visited buffer.
+
+    The distributed variant (search/distributed.py ShardedBackend) swaps these
+    four touchpoints for collective versions over a row-sharded index; the
+    search algorithm itself is shared.
+    """
+
+    def num_items(self, index) -> int:
+        return index.item_ids.shape[0]
+
+    def take_rows(self, table: jnp.ndarray, ids: jnp.ndarray, n: int
+                  ) -> jnp.ndarray:
+        return jnp.take(table, jnp.clip(ids, 0, table.shape[0] - 1), axis=0)
+
+    def take_ids(self, item_ids: jnp.ndarray, ids: jnp.ndarray, n: int
+                 ) -> jnp.ndarray:
+        return jnp.take(item_ids, jnp.clip(ids, 0, n - 1))
+
+    def vis_init(self, n: int) -> jnp.ndarray:
+        return jnp.full((n + 1,), _UNVISITED, jnp.uint8)
+
+    def vis_unvisited(self, vis: jnp.ndarray, ids: jnp.ndarray, epoch,
+                      n: int) -> jnp.ndarray:
+        return jnp.take(vis, jnp.clip(ids, 0, n)) != epoch
+
+    def vis_mark_sorted(self, vis: jnp.ndarray, ids: jnp.ndarray, epoch,
+                        n: int) -> jnp.ndarray:
+        # ids sorted+unique (sentinel-padded to slot n) — the flags let XLA
+        # emit a vectorized scatter instead of a serial loop
+        return vis.at[ids].set(epoch, unique_indices=True,
+                               indices_are_sorted=True)
+
+    def vis_mark(self, vis: jnp.ndarray, ids: jnp.ndarray, epoch,
+                 n: int) -> jnp.ndarray:
+        return vis.at[ids].set(epoch, unique_indices=True)
+
+    def run_scorer(self, score_fn, emb: jnp.ndarray) -> jnp.ndarray:
+        return score_fn(emb)
+
+
 def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
+                  backend: LocalBackend = None,
                   _filter: bool = True, _score: bool = True):
     """Build the fused search program.
 
@@ -115,31 +157,34 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
     Wrap in jax.vmap(..., in_axes=(None, None, None, 0, None)) for batches.
     """
     scfg.validate()
+    be = backend or LocalBackend()
     start = scfg.hnsw_start_level
     k_start_cap = scfg.top_k_per_level[start]
     hop_caps = scfg.num_scoring_per_level[0]
     k_hop_cap = scfg.top_k_per_level[0]
     k_final_cap = max(max(scfg.topk_eval), 1)
 
-    def score_items(params, state, user_seq_emb, ids, valid, num_items,
-                    item_embs):
-        emb = jnp.take(item_embs, jnp.clip(ids, 0, num_items - 1), axis=0)
-        if not _score:  # benchmarking stub: isolate non-scorer cost
-            return jnp.where(valid, jnp.sum(emb, -1, dtype=jnp.float32),
-                             NEG_INF)
-        logits, _ = scorer.scorer_forward(
-            params, state, mcfg, user_seq_emb[None], emb[None], training=False)
-        return jnp.where(valid, logits[0].astype(jnp.float32), NEG_INF)
+    def score_items(params, state, user_seq_emb, ids, valid, n, item_embs):
+        emb = be.take_rows(item_embs, ids, n)
+
+        def fwd(emb_chunk):
+            if not _score:  # benchmarking stub: isolate non-scorer cost
+                return jnp.sum(emb_chunk, -1, dtype=jnp.float32)
+            logits, _ = scorer.scorer_forward(
+                params, state, mcfg, user_seq_emb[None], emb_chunk[None],
+                training=False)
+            return logits[0].astype(jnp.float32)
+
+        scores = be.run_scorer(fwd, emb)
+        return jnp.where(valid, scores, NEG_INF)
 
     def expand_filter_score(params, state, index, user_seq_emb, vis, epoch,
-                            level, cand_ids, cand_scores, f_cap):
+                            level, cand_ids, cand_scores, f_cap, n):
         """One hop: neighbor expansion -> dedup + visited filter -> compaction
         to f_cap -> DNN scoring. Returns (ids, scores, vis, scored_count)."""
-        n = index.item_embs.shape[0]
         sentinel = n
-        nb_table = index.neighbors[level]
         valid_cand = cand_scores > NEG_INF
-        nb = jnp.take(nb_table, jnp.clip(cand_ids, 0, n - 1), axis=0)
+        nb = be.take_rows(index.neighbors[level], cand_ids, n)
         nb = jnp.where(valid_cand[:, None], nb, sentinel).reshape(-1)
 
         f_cap = min(f_cap, nb.shape[0])
@@ -153,7 +198,7 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         nb_sorted = jnp.sort(nb)
         first = jnp.concatenate(
             [jnp.ones((1,), bool), nb_sorted[1:] != nb_sorted[:-1]])
-        unvisited = jnp.take(vis, jnp.clip(nb_sorted, 0, n)) != epoch
+        unvisited = be.vis_unvisited(vis, nb_sorted, epoch, n)
         keep = first & unvisited & (nb_sorted < n)
         num_fresh = jnp.sum(keep)
 
@@ -163,11 +208,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         fresh = jnp.where(fresh_valid, fresh, sentinel)
 
         # mark the selected (scored) nodes visited for this level's epoch;
-        # overflow beyond f_cap stays unvisited and may be rediscovered.
-        # fresh is sorted+unique by construction — the flags let XLA emit a
-        # vectorized scatter instead of a serial loop
-        vis = vis.at[fresh].set(epoch, unique_indices=True,
-                                indices_are_sorted=True)
+        # overflow beyond f_cap stays unvisited and may be rediscovered
+        vis = be.vis_mark_sorted(vis, fresh, epoch, n)
 
         scores = score_items(params, state, user_seq_emb, fresh, fresh_valid,
                              n, index.item_embs)
@@ -175,9 +217,9 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
 
     def search(params: Params, state: State, index: SearchIndex,
                user_seq_emb: jnp.ndarray, level_topn: jnp.ndarray):
-        n = index.item_embs.shape[0]
+        n = be.num_items(index)
         sentinel = n
-        vis = jnp.full((n + 1,), _UNVISITED, jnp.uint8)
+        vis = be.vis_init(n)
         num_scoring: List[jnp.ndarray] = []
 
         # --- start level: score all enter points (model.py:339-354) ---
@@ -193,12 +235,12 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         cand_ids, cand_scores = res_ids, res_scores
         for level in range(start - 1, 0, -1):
             epoch = jnp.uint8(level)
-            vis = vis.at[jnp.where(cand_scores > NEG_INF, cand_ids,
-                                   sentinel)].set(epoch, unique_indices=True)
+            vis = be.vis_mark(vis, jnp.where(cand_scores > NEG_INF, cand_ids,
+                                             sentinel), epoch, n)
             for _ in range(scfg.num_scoring_per_level[level]):
                 fresh, fscores, vis, cnt = expand_filter_score(
                     params, state, index, user_seq_emb, vis, epoch, level,
-                    cand_ids, cand_scores, scfg.frontier_cap)
+                    cand_ids, cand_scores, scfg.frontier_cap, n)
                 num_scoring.append(cnt)
                 merged_ids = jnp.concatenate([res_ids, fresh])
                 merged_scores = jnp.concatenate([res_scores, fscores])
@@ -211,13 +253,13 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         # --- ground level: fresh-topk hops, results accumulate
         #     (build_opt_graph.py:128-141) ---
         epoch = jnp.uint8(0)
-        vis = vis.at[jnp.where(cand_scores > NEG_INF, cand_ids,
-                               sentinel)].set(epoch, unique_indices=True)
+        vis = be.vis_mark(vis, jnp.where(cand_scores > NEG_INF, cand_ids,
+                                         sentinel), epoch, n)
         buf_ids, buf_scores = [res_ids], [res_scores]
         for i in range(hop_caps):
             fresh, fscores, vis, cnt = expand_filter_score(
                 params, state, index, user_seq_emb, vis, epoch, 0,
-                cand_ids, cand_scores, scfg.frontier_cap)
+                cand_ids, cand_scores, scfg.frontier_cap, n)
             num_scoring.append(cnt)
             cand_ids, cand_scores = _masked_topk(
                 fresh, fscores, k_hop_cap, level_topn[t + i], sentinel)
@@ -231,9 +273,7 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
             all_ids, all_scores, k_final_cap, level_topn[-1], sentinel)
         valid = final_scores > NEG_INF
         top_items = jnp.where(
-            valid,
-            jnp.take(index.item_ids, jnp.clip(final_ids, 0, n - 1)),
-            -1)
+            valid, be.take_ids(index.item_ids, final_ids, n), -1)
         return top_items, final_scores, jnp.stack(num_scoring)
 
     return search
