@@ -144,6 +144,8 @@ class LocalBackend:
 
 def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
                   backend: LocalBackend = None,
+                  use_pallas_scorer: bool = False, pallas_tile: int = 1024,
+                  pallas_interpret: bool = False,
                   _filter: bool = True, _score: bool = True):
     """Build the fused search program.
 
@@ -164,16 +166,36 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
     k_hop_cap = scfg.top_k_per_level[0]
     k_final_cap = max(max(scfg.topk_eval), 1)
 
+    if use_pallas_scorer:
+        from ..ops.scorer_kernel import (fold_scorer,
+                                         make_pallas_frontier_scorer,
+                                         precompute_user)
+        pallas_score = make_pallas_frontier_scorer(
+            mcfg, tile=pallas_tile, interpret=pallas_interpret)
+
     def score_items(params, state, user_seq_emb, ids, valid, n, item_embs):
         emb = be.take_rows(item_embs, ids, n)
+        dt = jnp.dtype(mcfg.compute_dtype)
 
-        def fwd(emb_chunk):
-            if not _score:  # benchmarking stub: isolate non-scorer cost
-                return jnp.sum(emb_chunk, -1, dtype=jnp.float32)
-            logits, _ = scorer.scorer_forward(
-                params, state, mcfg, user_seq_emb[None], emb_chunk[None],
-                training=False)
-            return logits[0].astype(jnp.float32)
+        if use_pallas_scorer and _score:
+            # eval-mode weights folded + user-side projections hoisted; both
+            # are hop-invariant subgraphs XLA CSEs across the search
+            folded = fold_scorer(params, state, mcfg)
+            k_proj, v = precompute_user(folded, user_seq_emb, dt=dt)
+
+            def fwd(emb_chunk):
+                F = emb_chunk.shape[0]
+                Fp = -(-F // pallas_tile) * pallas_tile
+                padded = jnp.pad(emb_chunk.astype(dt), ((0, Fp - F), (0, 0)))
+                return pallas_score(folded, k_proj, v, padded)[:F]
+        else:
+            def fwd(emb_chunk):
+                if not _score:  # benchmarking stub: isolate non-scorer cost
+                    return jnp.sum(emb_chunk, -1, dtype=jnp.float32)
+                logits, _ = scorer.scorer_forward(
+                    params, state, mcfg, user_seq_emb[None], emb_chunk[None],
+                    training=False)
+                return logits[0].astype(jnp.float32)
 
         scores = be.run_scorer(fwd, emb)
         return jnp.where(valid, scores, NEG_INF)

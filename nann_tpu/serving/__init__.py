@@ -1,6 +1,7 @@
 from .metrics import Histogram, Meter, MetricsRegistry
 from .engine import Engine, EngineConfig, RequestRejected
+from .server import NannServer
 from .load_gen import LoadGenConfig, run_load_test
 
-__all__ = ["Engine", "EngineConfig", "RequestRejected", "Histogram", "Meter",
+__all__ = ["Engine", "EngineConfig", "RequestRejected", "NannServer", "Histogram", "Meter",
            "MetricsRegistry", "LoadGenConfig", "run_load_test"]

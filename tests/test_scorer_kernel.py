@@ -1,0 +1,76 @@
+"""Fused Pallas frontier-scorer kernel vs the model's scorer_forward oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nann_tpu.config import ModelConfig
+from nann_tpu.models import init_scorer, scorer
+from nann_tpu.ops.scorer_kernel import (fold_scorer,
+                                        make_pallas_frontier_scorer,
+                                        precompute_user,
+                                        score_frontier_reference)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mcfg = ModelConfig(num_item=100, num_cate=10, emb_dim=32,
+                       max_seq_length=50)
+    params, state = init_scorer(jax.random.PRNGKey(0), mcfg)
+    rng = np.random.default_rng(0)
+    user = jnp.asarray(rng.standard_normal((50, 64)).astype(np.float32))
+    items = jnp.asarray(rng.standard_normal((512, 64)).astype(np.float32))
+    return mcfg, params, state, user, items
+
+
+def test_folded_reference_matches_scorer_forward(setup):
+    """BN folding + per-query precompute must reproduce the eval-mode model."""
+    mcfg, params, state, user, items = setup
+    want, _ = scorer.scorer_forward(params, state, mcfg, user[None],
+                                    items[None], training=False)
+    folded = fold_scorer(params, state, mcfg)
+    k_proj, v = precompute_user(folded, user, dt=jnp.float32)
+    got = score_frontier_reference(folded, k_proj, v, items, dt=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want[0]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_kernel_matches_reference_interpret(setup):
+    mcfg, params, state, user, items = setup
+    folded = fold_scorer(params, state, mcfg)
+    k_proj, v = precompute_user(folded, user, dt=jnp.float32)
+    want = score_frontier_reference(folded, k_proj, v, items, dt=jnp.float32)
+
+    score = make_pallas_frontier_scorer(mcfg, tile=256, interpret=True)
+    got = score(folded, k_proj, v, items)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_kernel_bf16_close(setup):
+    mcfg, params, state, user, items = setup
+    folded = fold_scorer(params, state, mcfg)
+    k_proj, v = precompute_user(folded, user)
+    want = score_frontier_reference(folded, k_proj, v, items)
+
+    score = make_pallas_frontier_scorer(mcfg, tile=256, interpret=True)
+    got = score(folded, k_proj, v, items.astype(jnp.bfloat16))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.05, atol=0.05)
+
+
+def test_pallas_kernel_jit_and_vmap_free(setup):
+    """The kernel must be jittable with the fold done inside jit."""
+    mcfg, params, state, user, items = setup
+    score = make_pallas_frontier_scorer(mcfg, tile=256, interpret=True)
+
+    @jax.jit
+    def run(params, state, user, items):
+        folded = fold_scorer(params, state, mcfg)
+        k_proj, v = precompute_user(folded, user, dt=jnp.float32)
+        return score(folded, k_proj, v, items)
+
+    out = run(params, state, user, items)
+    assert out.shape == (512,)
+    assert np.isfinite(np.asarray(out)).all()
