@@ -73,6 +73,10 @@ def parse_opt(argv=None) -> argparse.Namespace:
     p.add_argument("--hnsw-num-neighbors", type=int, default=32)
     p.add_argument("--ef-construction", type=int, default=200)
     p.add_argument("--search-batch", type=int, default=16)
+    p.add_argument("--search-semantics", default="serving",
+                   choices=["serving", "eval"],
+                   help="serving = exported-graph semantics; eval = the "
+                        "reference test-job algorithm (threshold candidates)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 scorer compute")
     return p.parse_args(argv)
@@ -213,9 +217,10 @@ def job_test(args, mcfg, tcfg, scfg, paths):
     sidx = _load_search_index(args, mcfg, scfg, paths)
 
     n_users = min(args.num_test_batch, len(test["gt_item_id"]))
-    search = jax.jit(jax.vmap(make_searcher(mcfg, scfg),
-                              in_axes=(None, None, None, 0, None)))
-    ltn = jnp.asarray(level_topn_default(scfg))
+    search = jax.jit(jax.vmap(
+        make_searcher(mcfg, scfg, semantics=args.search_semantics),
+        in_axes=(None, None, None, 0, None)))
+    ltn = jnp.asarray(level_topn_default(scfg, args.search_semantics))
 
     meters = {k: {t: AverageMeter(n, ":.2%") for t in args.topk_eval}
               for k, n in (("prec", "prec"), ("recall", "recall"), ("f1", "f1"))}

@@ -75,14 +75,23 @@ class SearchIndex:
         )
 
 
-def level_topn_default(scfg: SearchConfig) -> np.ndarray:
-    """The default runtime search budget, shaped like the serving request's
-    level_topn input: [k_start, k per level start-1..1, k per level-0 hop,
-    k_final]."""
+def level_topn_default(scfg: SearchConfig, semantics: str = "serving"
+                       ) -> np.ndarray:
+    """The default runtime search budget.
+
+    serving layout (the exported graph's level_topn input):
+        [k_start, k per level start-1..1, k per level-0 hop, k_final]
+    eval layout (reference test-job knobs, one k per level):
+        [k_start, k per level start-1..0, k_final]
+    """
     ks = [scfg.top_k_per_level[scfg.hnsw_start_level]]
-    for level in range(scfg.hnsw_start_level - 1, 0, -1):
-        ks.append(scfg.top_k_per_level[level])
-    ks.extend([scfg.top_k_per_level[0]] * scfg.num_scoring_per_level[0])
+    if semantics == "serving":
+        for level in range(scfg.hnsw_start_level - 1, 0, -1):
+            ks.append(scfg.top_k_per_level[level])
+        ks.extend([scfg.top_k_per_level[0]] * scfg.num_scoring_per_level[0])
+    else:
+        for level in range(scfg.hnsw_start_level - 1, -1, -1):
+            ks.append(scfg.top_k_per_level[level])
     ks.append(max(scfg.topk_eval))
     return np.asarray(ks, np.int32)
 
@@ -144,6 +153,8 @@ class LocalBackend:
 
 def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
                   backend: LocalBackend = None,
+                  scorer_impl: str = "folded",
+                  semantics: str = "serving",
                   use_pallas_scorer: bool = False, pallas_tile: int = 1024,
                   pallas_interpret: bool = False,
                   _filter: bool = True, _score: bool = True):
@@ -167,27 +178,39 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
     k_final_cap = max(max(scfg.topk_eval), 1)
 
     if use_pallas_scorer:
+        scorer_impl = "pallas"
+    if scorer_impl in ("folded", "pallas"):
         from ..ops.scorer_kernel import (fold_scorer,
                                          make_pallas_frontier_scorer,
-                                         precompute_user)
-        pallas_score = make_pallas_frontier_scorer(
-            mcfg, tile=pallas_tile, interpret=pallas_interpret)
+                                         precompute_user,
+                                         score_frontier_reference)
+        if scorer_impl == "pallas":
+            pallas_score = make_pallas_frontier_scorer(
+                mcfg, tile=pallas_tile, interpret=pallas_interpret)
 
     def score_items(params, state, user_seq_emb, ids, valid, n, item_embs):
         emb = be.take_rows(item_embs, ids, n)
         dt = jnp.dtype(mcfg.compute_dtype)
 
-        if use_pallas_scorer and _score:
-            # eval-mode weights folded + user-side projections hoisted; both
-            # are hop-invariant subgraphs XLA CSEs across the search
+        if scorer_impl in ("folded", "pallas") and _score:
+            # eval-mode BN folded to affine + user-side k-projections hoisted
+            # out of the per-hop path; both are hop-invariant subgraphs XLA
+            # CSEs across the search. The reference recomputes them inside
+            # every BlazeXlaOp call.
             folded = fold_scorer(params, state, mcfg)
             k_proj, v = precompute_user(folded, user_seq_emb, dt=dt)
 
-            def fwd(emb_chunk):
-                F = emb_chunk.shape[0]
-                Fp = -(-F // pallas_tile) * pallas_tile
-                padded = jnp.pad(emb_chunk.astype(dt), ((0, Fp - F), (0, 0)))
-                return pallas_score(folded, k_proj, v, padded)[:F]
+            if scorer_impl == "pallas":
+                def fwd(emb_chunk):
+                    F = emb_chunk.shape[0]
+                    Fp = -(-F // pallas_tile) * pallas_tile
+                    padded = jnp.pad(emb_chunk.astype(dt),
+                                     ((0, Fp - F), (0, 0)))
+                    return pallas_score(folded, k_proj, v, padded)[:F]
+            else:
+                def fwd(emb_chunk):
+                    return score_frontier_reference(folded, k_proj, v,
+                                                    emb_chunk, dt=dt)
         else:
             def fwd(emb_chunk):
                 if not _score:  # benchmarking stub: isolate non-scorer cost
@@ -236,6 +259,58 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         scores = score_items(params, state, user_seq_emb, fresh, fresh_valid,
                              n, index.item_embs)
         return fresh, scores, vis, jnp.minimum(num_fresh, f_cap)
+
+    def search_eval(params: Params, state: State, index: SearchIndex,
+                    user_seq_emb: jnp.ndarray, level_topn: jnp.ndarray):
+        """Eval-graph semantics (model.py search_level/retrieval:299-362):
+        per level, merged top-k results; next-hop candidates = fresh nodes
+        scoring >= the current k-th result."""
+        n = be.num_items(index)
+        sentinel = n
+        vis = be.vis_init(n)
+        num_scoring: List[jnp.ndarray] = []
+
+        ep = index.enter_points.astype(jnp.int32)
+        ep_scores = score_items(params, state, user_seq_emb, ep,
+                                jnp.ones(ep.shape, bool), n, index.item_embs)
+        num_scoring.append(jnp.asarray(ep.shape[0], jnp.int32))
+        res_ids, res_scores = _masked_topk(ep, ep_scores, k_start_cap,
+                                           level_topn[0], sentinel)
+
+        t = 1
+        for level in range(start - 1, -1, -1):
+            epoch = jnp.uint8(level)
+            # visited starts as this level's enter points (model.py:312)
+            vis = be.vis_mark(vis, jnp.where(res_scores > NEG_INF, res_ids,
+                                             sentinel), epoch, n)
+            cand_ids, cand_scores = res_ids, res_scores
+            k_cap = scfg.top_k_per_level[level]
+            for _ in range(scfg.num_scoring_per_level[level]):
+                fresh, fscores, vis, cnt = expand_filter_score(
+                    params, state, index, user_seq_emb, vis, epoch, level,
+                    cand_ids, cand_scores, scfg.frontier_cap, n)
+                num_scoring.append(cnt)
+                res_ids, res_scores = _masked_topk(
+                    jnp.concatenate([res_ids, fresh]),
+                    jnp.concatenate([res_scores, fscores]),
+                    k_cap, level_topn[t], sentinel)
+                # candidates: fresh nodes with score >= k-th result
+                # (model.py:333-334); any such node is inside the top-k
+                kth = jnp.min(jnp.where(res_scores > NEG_INF, res_scores,
+                                        jnp.inf))
+                cand_ids, cand_scores = _masked_topk(fresh, fscores, k_cap,
+                                                     level_topn[t], sentinel)
+                live = cand_scores >= kth
+                cand_ids = jnp.where(live, cand_ids, sentinel)
+                cand_scores = jnp.where(live, cand_scores, NEG_INF)
+            t += 1
+
+        final_ids, final_scores = _masked_topk(
+            res_ids, res_scores, k_final_cap, level_topn[-1], sentinel)
+        valid = final_scores > NEG_INF
+        top_items = jnp.where(
+            valid, be.take_ids(index.item_ids, final_ids, n), -1)
+        return top_items, final_scores, jnp.stack(num_scoring)
 
     def search(params: Params, state: State, index: SearchIndex,
                user_seq_emb: jnp.ndarray, level_topn: jnp.ndarray):
@@ -298,4 +373,4 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
             valid, be.take_ids(index.item_ids, final_ids, n), -1)
         return top_items, final_scores, jnp.stack(num_scoring)
 
-    return search
+    return search_eval if semantics == "eval" else search

@@ -65,6 +65,11 @@ class _Request:
     level_topn: np.ndarray
     future: Future
     enqueue_t: float
+    deadline_ms: Optional[float] = None
+
+    def expired(self, now: float) -> bool:
+        return (self.deadline_ms is not None
+                and (now - self.enqueue_t) * 1e3 > self.deadline_ms)
 
 
 class Engine:
@@ -132,9 +137,14 @@ class Engine:
     # --------------------------------------------------------------- serving
 
     def submit(self, user_seq_emb: np.ndarray,
-               level_topn: Optional[np.ndarray] = None) -> Future:
+               level_topn: Optional[np.ndarray] = None,
+               deadline_ms: Optional[float] = None) -> Future:
         """Enqueue one request; the Future resolves to
-        (top_item_ids [k], scores [k]) with invalid slots stripped."""
+        (top_item_ids [k], scores [k]) with invalid slots stripped.
+
+        deadline_ms: admission deadline — if the request is still queued when
+        it expires, it is rejected (the reference's wait_ms DeadlineExceeded
+        path, blaze_xla_kernel.cc:225-249)."""
         fut: Future = Future()
         if self._queue.qsize() >= self.config.max_queue:
             self.metrics.rejected.mark()
@@ -143,7 +153,7 @@ class Engine:
         ltn = self._default_ltn if level_topn is None else \
             np.asarray(level_topn, np.int32)
         self._queue.put(_Request(np.asarray(user_seq_emb, np.float32),
-                                 ltn, fut, time.perf_counter()))
+                                 ltn, fut, time.perf_counter(), deadline_ms))
         return fut
 
     def search_sync(self, user_seq_emb: np.ndarray,
@@ -174,6 +184,15 @@ class Engine:
     def _dispatch_loop(self) -> None:
         while not self._stop.is_set():
             batch = self._take_batch()
+            if not batch:
+                continue
+            # reject requests whose admission deadline passed while queued
+            now = time.perf_counter()
+            expired = [r for r in batch if r.expired(now)]
+            batch = [r for r in batch if not r.expired(now)]
+            for r in expired:
+                self.metrics.rejected.mark()
+                r.future.set_exception(RequestRejected("deadline exceeded"))
             if not batch:
                 continue
             # requests sharing a level_topn run together; split odd ones off

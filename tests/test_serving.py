@@ -104,6 +104,38 @@ def test_queue_rejection():
     assert issubclass(RequestRejected, Exception)
 
 
+def test_deadline_rejection(engine):
+    """A request with an already-expired deadline must be rejected at
+    dispatch (reference wait_ms DeadlineExceeded semantics)."""
+    from nann_tpu.serving.engine import RequestRejected
+    rng = np.random.default_rng(8)
+    fut = engine.submit(rng.standard_normal((8, 16)).astype(np.float32),
+                        deadline_ms=0.0)
+    with pytest.raises(RequestRejected):
+        fut.result(timeout=10)
+
+
+def test_concurrent_submitters_thread_safety(engine):
+    """Hammer the engine from several threads at once — results must all
+    arrive and be well-formed (the queue/dispatcher race test per
+    SURVEY.md §5.2)."""
+    import threading
+    rng = np.random.default_rng(9)
+    users = [rng.standard_normal((8, 16)).astype(np.float32)
+             for _ in range(40)]
+    results = [None] * 40
+    def worker(lo, hi):
+        for i in range(lo, hi):
+            results[i] = engine.search_sync(users[i])
+    threads = [threading.Thread(target=worker, args=(i * 10, (i + 1) * 10))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert all(r is not None and len(r[0]) == 50 for r in results)
+
+
 def test_load_generator(engine):
     res = run_load_test(engine, LoadGenConfig(duration_s=2.0, qps=200,
                                               num_producers=2), verbose=False)
