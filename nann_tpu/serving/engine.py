@@ -57,6 +57,8 @@ class EngineConfig:
     wait_ms: float = 5.0              # micro-batch window (opt_default.conf wait_ms)
     max_queue: int = 256              # reject beyond this (max_queue_size)
     warmup: bool = True
+    record_requests: int = 0          # keep the last N served requests for
+    #                                   runmeta-style dump/replay (SURVEY §5.1)
 
 
 @dataclasses.dataclass
@@ -94,6 +96,8 @@ class Engine:
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._inflight: "queue.Queue[Tuple]" = queue.Queue(maxsize=4)
+        from collections import deque
+        self._recorded = deque(maxlen=max(self.config.record_requests, 1))
         self._stop = threading.Event()
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
@@ -133,6 +137,20 @@ class Engine:
         self._stop.set()
         self._dispatcher.join(timeout=2)
         self._completer.join(timeout=2)
+
+    def dump_runmeta(self, path: str) -> int:
+        """Dump recorded requests (inputs, budgets, results, latency) as npz —
+        the reference's traced-tensor runmeta protocol (config.proto:634-696)
+        whose consumer replays them as benchmark inputs (model.cc:263-338).
+        Replay via LoadGenConfig(replay_path=...). Returns count."""
+        recs = list(self._recorded)
+        if not recs:
+            return 0
+        users = np.stack([r[0] for r in recs])
+        ltns = np.stack([r[1] for r in recs])
+        lat = np.asarray([r[3] for r in recs], np.float32)
+        np.savez(path, user_seq_emb=users, level_topn=ltns, latency_us=lat)
+        return len(recs)
 
     # --------------------------------------------------------------- serving
 
@@ -229,7 +247,12 @@ class Engine:
                 for i, r in enumerate(batch):
                     valid = items[i] >= 0
                     r.future.set_result((items[i][valid], scores[i][valid]))
-                    self.metrics.latency_us.update((now - r.enqueue_t) * 1e6)
+                    lat_us = (now - r.enqueue_t) * 1e6
+                    self.metrics.latency_us.update(lat_us)
+                    if self.config.record_requests:
+                        self._recorded.append(
+                            (r.user_seq_emb, r.level_topn,
+                             items[i][valid], np.float32(lat_us)))
                 self.metrics.throughput.mark(len(batch))
             except Exception as e:  # noqa: BLE001 — report per-request
                 self.metrics.failures.mark(len(batch))

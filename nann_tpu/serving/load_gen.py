@@ -26,6 +26,9 @@ class LoadGenConfig:
     num_producers: int = 4           # predictor_num=4 / thread_count=4
     report_interval_s: float = 3.0
     seed: int = 0
+    replay_path: str = ""            # runmeta npz from Engine.dump_runmeta:
+    #                                  producers replay recorded requests
+    #                                  instead of generating random ones
 
 
 def run_load_test(engine: Engine, config: LoadGenConfig,
@@ -35,11 +38,18 @@ def run_load_test(engine: Engine, config: LoadGenConfig,
     mcfg = engine.mcfg
     inflight_sem = threading.Semaphore(engine.config.max_queue)
 
+    replay = None
+    if config.replay_path:
+        rec = np.load(config.replay_path)
+        replay = (rec["user_seq_emb"].astype(np.float32),
+                  rec["level_topn"].astype(np.int32))
+
     def producer(tid: int):
         rng = np.random.default_rng(config.seed + tid)
         per_thread_qps = (config.qps / config.num_producers
                           if config.qps > 0 else None)
         next_t = time.perf_counter()
+        i = tid
         while not stop.is_set():
             if per_thread_qps:
                 now = time.perf_counter()
@@ -47,11 +57,17 @@ def run_load_test(engine: Engine, config: LoadGenConfig,
                     time.sleep(min(next_t - now, 0.05))
                     continue
                 next_t += 1.0 / per_thread_qps
-            user = rng.standard_normal(
-                (mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32)
+            if replay is not None:
+                user = replay[0][i % len(replay[0])]
+                ltn = replay[1][i % len(replay[1])]
+                i += config.num_producers
+            else:
+                user = rng.standard_normal(
+                    (mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32)
+                ltn = None
             if not inflight_sem.acquire(timeout=0.1):
                 continue
-            fut = engine.submit(user)
+            fut = engine.submit(user, ltn)
             fut.add_done_callback(lambda _f: inflight_sem.release())
 
     threads = [threading.Thread(target=producer, args=(t,), daemon=True)

@@ -142,3 +142,31 @@ def test_load_generator(engine):
     assert res["total"] > 50, res
     assert res["failures"] == 0
     assert res["latency_p99_us"] > 0
+
+
+def test_runmeta_record_and_replay(engine_setup, tmp_path):
+    """Runmeta protocol: record served requests, dump, replay through the
+    load generator (reference traced-tensors -> ParseRunmeta flow)."""
+    mcfg, scfg, params, state, sidx = engine_setup
+    eng = Engine(mcfg, scfg, params, state, sidx,
+                 EngineConfig(batch_buckets=(1, 2), wait_ms=1.0,
+                              record_requests=32, warmup=False))
+    try:
+        rng = np.random.default_rng(11)
+        for _ in range(6):
+            eng.search_sync(rng.standard_normal((8, 16)).astype(np.float32))
+        path = str(tmp_path / "runmeta.npz")
+        n = eng.dump_runmeta(path)
+        assert n == 6
+        rec = np.load(path)
+        assert rec["user_seq_emb"].shape == (6, 8, 16)
+        assert rec["latency_us"].min() > 0
+
+        res = run_load_test(eng, LoadGenConfig(duration_s=1.0, qps=100,
+                                               num_producers=1,
+                                               replay_path=path),
+                            verbose=False)
+        assert res["total"] > 10
+        assert res["failures"] == 0
+    finally:
+        eng.shutdown()
