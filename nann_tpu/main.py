@@ -37,7 +37,9 @@ def parse_opt(argv=None) -> argparse.Namespace:
         "nann_tpu driver", formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("--job-type", default="train",
                    choices=["train", "extract_feature", "build_index", "test",
-                            "test_all", "export", "serve_bench", "all"])
+                            "test_all", "export", "serve", "serve_bench",
+                            "verify_export", "all"])
+    p.add_argument("--port", type=int, default=8501)
     p.add_argument("--output-root", default="./output")
     p.add_argument("--dataset-dir", default="./data")
     p.add_argument("--synthetic", action="store_true",
@@ -329,6 +331,36 @@ def job_serve_bench(args, mcfg, tcfg, scfg, paths):
     return res
 
 
+def job_serve(args, mcfg, tcfg, scfg, paths):
+    """Run the HTTP serving shim on the export bundle with hot reload."""
+    from .delivery.verify_export import load_serving_bundle
+    from .serving import Engine, EngineConfig, NannServer
+    from .serving.selector import ModelReloader
+
+    params, state, mcfg, sidx = load_serving_bundle(paths.export_dir, scfg)
+    engine = Engine(mcfg, scfg, params, state, sidx,
+                    EngineConfig(batch_buckets=(1, 4, args.search_batch)))
+    reloader = ModelReloader(engine, paths.export_dir, scfg)
+    reloader.start()
+    server = NannServer(engine, port=args.port)
+    server.start()
+    logger.info(f"serving export bundle on :{server.port}; ctrl-c to stop")
+    try:
+        import signal
+        signal.pause()
+    except (KeyboardInterrupt, AttributeError):
+        pass
+    finally:
+        server.stop()
+        reloader.stop()
+        engine.shutdown()
+
+
+def job_verify_export(args, mcfg, tcfg, scfg, paths):
+    from .delivery.verify_export import verify_export
+    return verify_export(paths.export_dir, scfg)
+
+
 JOBS = {
     "train": job_train,
     "extract_feature": job_extract,
@@ -336,7 +368,9 @@ JOBS = {
     "test": job_test,
     "test_all": job_test_all,
     "export": job_export,
+    "serve": job_serve,
     "serve_bench": job_serve_bench,
+    "verify_export": job_verify_export,
 }
 
 
@@ -347,7 +381,7 @@ def main(argv=None):
     logger.info(f"job={args.job_type} model={mcfg} train={tcfg} search={scfg}")
     if args.job_type == "all":
         for name in ("train", "extract_feature", "build_index", "test_all",
-                     "test", "export"):
+                     "test", "export", "verify_export"):
             logger.info(f"=== {name} ===")
             JOBS[name](args, mcfg, tcfg, scfg, paths)
     else:

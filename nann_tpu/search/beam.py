@@ -67,8 +67,16 @@ class SearchIndex:
     @staticmethod
     def from_artifacts(art, item_embs: np.ndarray, item_ids: np.ndarray,
                        dtype=jnp.float32) -> "SearchIndex":
+        """dtype "int8" packs embeddings as symmetric per-row int8 + scale
+        (index/quantize.py) — halves index memory; the frontier is
+        dequantized after each gather."""
+        if dtype in ("int8", jnp.int8):
+            from ..index.quantize import pack_quantized
+            embs = pack_quantized(np.asarray(item_embs))
+        else:
+            embs = jnp.asarray(item_embs, dtype)
         return SearchIndex(
-            item_embs=jnp.asarray(item_embs, dtype),
+            item_embs=embs,
             item_ids=jnp.asarray(item_ids.astype(np.int32)),
             enter_points=jnp.asarray(art.enter_points),
             neighbors={l: jnp.asarray(v) for l, v in art.neighbors.items()},
@@ -191,6 +199,9 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
     def score_items(params, state, user_seq_emb, ids, valid, n, item_embs):
         emb = be.take_rows(item_embs, ids, n)
         dt = jnp.dtype(mcfg.compute_dtype)
+        if emb.dtype == jnp.int8:   # packed quantized rows -> dequantize
+            from ..index.quantize import unpack_rows
+            emb = unpack_rows(emb, mcfg.item_emb_dim, dt)
 
         if scorer_impl in ("folded", "pallas") and _score:
             # eval-mode BN folded to affine + user-side k-projections hoisted
