@@ -79,6 +79,10 @@ def main():
     ap.add_argument("--reps", type=int, default=50)
     ap.add_argument("--quick", action="store_true",
                     help="small corpus / few reps (smoke run)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="also measure a batch-size sweep")
+    ap.add_argument("--recall", action="store_true",
+                    help="also measure recall@100 vs the brute-force oracle")
     args = ap.parse_args()
     if args.quick:
         args.items = min(args.items, 20_000)
@@ -144,6 +148,39 @@ def main():
 
     num_scoring = int(np.asarray(out[2]).sum())
 
+    extras = {}
+    if args.sweep:
+        for b in (4, 32, 64):
+            userS = jnp.asarray(rng.standard_normal(
+                (b, mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32))
+            fS = jax.jit(jax.vmap(searcher,
+                                  in_axes=(None, None, None, 0, None)))
+            t_ms = pipelined_ms(fS, params, state, sidx, userS, ltn,
+                                reps=max(args.reps // 2, 5))
+            extras[f"qps_at_batch_{b}"] = round(b / t_ms * 1e3, 1)
+        print(f"# sweep: {extras}", file=sys.stderr)
+
+    if args.recall:
+        from nann_tpu.search import brute_force_topk
+        nq = 8
+        userR = jnp.asarray(rng.standard_normal(
+            (nq, mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32))
+        fR = jax.jit(jax.vmap(searcher, in_axes=(None, None, None, 0, None)))
+        top_items, _s, _n = fR(params, state, sidx, userR, ltn)
+        bf_idx, _ = brute_force_topk(params, state, mcfg, userR,
+                                     sidx.item_embs.astype(jnp.float32),
+                                     k=100)
+        bf_items = np.asarray(sidx.item_ids)[np.asarray(bf_idx)]
+        recalls = []
+        for u in range(nq):
+            got = np.asarray(top_items[u])
+            got = set(got[got >= 0].tolist())
+            want = set(bf_items[u].tolist())
+            recalls.append(len(got & want) / len(want))
+        extras["recall_at_100_vs_oracle"] = round(float(np.mean(recalls)), 4)
+        print(f"# recall: {extras['recall_at_100_vs_oracle']}",
+              file=sys.stderr)
+
     baseline_path = os.path.join(REPO, "bench_baseline.json")
     vs_baseline = 1.0
     if os.path.exists(baseline_path):
@@ -163,6 +200,7 @@ def main():
         "num_items": args.items,
         "num_scoring_per_query": num_scoring,
         "device": str(jax.devices()[0]),
+        **extras,
     }))
 
 

@@ -38,7 +38,7 @@ def parse_opt(argv=None) -> argparse.Namespace:
     p.add_argument("--job-type", default="train",
                    choices=["train", "extract_feature", "build_index", "test",
                             "test_all", "export", "serve", "serve_bench",
-                            "verify_export", "all"])
+                            "verify_export", "parity", "all"])
     p.add_argument("--port", type=int, default=8501)
     p.add_argument("--output-root", default="./output")
     p.add_argument("--dataset-dir", default="./data")
@@ -361,6 +361,23 @@ def job_verify_export(args, mcfg, tcfg, scfg, paths):
     return verify_export(paths.export_dir, scfg)
 
 
+def job_parity(args, mcfg, tcfg, scfg, paths):
+    """The north-star check in one command: graph-search recall vs the
+    brute-force ceiling on the same checkpoint (reference oracle pattern,
+    SURVEY.md §4.2)."""
+    oracle = job_test_all(args, mcfg, tcfg, scfg, paths)
+    graph = job_test(args, mcfg, tcfg, scfg, paths)
+    report = {}
+    for topk in args.topk_eval:
+        ceiling = oracle[f"recall@{topk}"]
+        got = graph[f"recall@{topk}"]
+        ratio = got / ceiling if ceiling > 0 else float("nan")
+        report[f"parity@{topk}"] = ratio
+        logger.info(f"PARITY@{topk}: graph {got:.2%} / oracle {ceiling:.2%} "
+                    f"= {ratio:.1%}")
+    return report
+
+
 JOBS = {
     "train": job_train,
     "extract_feature": job_extract,
@@ -371,6 +388,7 @@ JOBS = {
     "serve": job_serve,
     "serve_bench": job_serve_bench,
     "verify_export": job_verify_export,
+    "parity": job_parity,
 }
 
 

@@ -91,15 +91,21 @@ def bitmap_ref_difference(ids: jnp.ndarray, bm: jnp.ndarray,
 
 # ------------------------------------------------------------- bloom filter
 
-_BLOOM_PRIMES = jnp.asarray([999269, 999437, 999721, 999953], jnp.int64)
-_BLOOM_MULTS = jnp.asarray([3, 5, 7, 11], jnp.int64)
+_BLOOM_PRIMES = (999269, 999437, 999721, 999953)
+_BLOOM_MULTS = (3, 5, 7, 11)
 
 
 def bloom_hashes(ids: jnp.ndarray, num_bits: int) -> jnp.ndarray:
-    """[4, n] hash positions (prime-mod family like bitmap_ops.cc:393-419)."""
-    x = ids.astype(jnp.int64)[None, :]
-    h = (x * _BLOOM_MULTS[:, None] + 1) % _BLOOM_PRIMES[:, None]
-    return (h % num_bits).astype(jnp.int32)
+    """[4, n] hash positions (prime-mod family like bitmap_ops.cc:393-419).
+
+    Arithmetic stays in uint32 (mult*id < 11 * 2^31 overflows int32 but the
+    prime mod keeps values small after one widening multiply in uint64-free
+    form: (id % p) * m % p)."""
+    x = ids.astype(jnp.uint32)[None, :]
+    p = jnp.asarray(_BLOOM_PRIMES, jnp.uint32)[:, None]
+    m = jnp.asarray(_BLOOM_MULTS, jnp.uint32)[:, None]
+    h = ((x % p) * m + 1) % p
+    return (h % jnp.uint32(num_bits)).astype(jnp.int32)
 
 
 def bloom_filter_difference(ids: jnp.ndarray, bm: jnp.ndarray
