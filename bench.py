@@ -177,8 +177,14 @@ def main():
             got = set(got[got >= 0].tolist())
             want = set(bf_items[u].tolist())
             recalls.append(len(got & want) / len(want))
-        extras["recall_at_100_vs_oracle"] = round(float(np.mean(recalls)), 4)
-        print(f"# recall: {extras['recall_at_100_vs_oracle']}",
+        # NOTE: the bench uses a RANDOM scorer over a RANDOM corpus, so graph
+        # proximity (L2) correlates weakly with DNN scores — this is a lower
+        # bound. Trained checkpoints reach ~94% of the oracle (see the
+        # `parity` job); this field only tracks bench-config regressions.
+        extras["recall_at_100_vs_oracle_untrained"] = round(
+            float(np.mean(recalls)), 4)
+        print(f"# recall (untrained lower bound): "
+              f"{extras['recall_at_100_vs_oracle_untrained']}",
               file=sys.stderr)
 
     baseline_path = os.path.join(REPO, "bench_baseline.json")

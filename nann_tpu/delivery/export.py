@@ -24,9 +24,8 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-from typing import Dict, Tuple
+from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -56,7 +56,14 @@ class IndexArtifacts:
 
 def load_index(index_dir: str, start_level: int, max_degree: int = 64
                ) -> IndexArtifacts:
-    """Load the npy artifact contract and pack for TPU."""
+    """Load the npy artifact contract and pack for TPU.
+
+    max_degree applies to the ground level (HNSW stores up to 2M neighbors
+    there); upper levels cap at M, so they pack at half the width — this
+    halves their expansion size in the search. Rows longer than the packed
+    width (possible only if max_degree was chosen below the build's 2M) are
+    truncated by pack_fixed_degree.
+    """
     enter_points = np.load(os.path.join(index_dir, "enter_points.npy"))
     neighbors = {}
     num_items = 0
@@ -66,7 +73,11 @@ def load_index(index_dir: str, start_level: int, max_degree: int = 64
         row_splits = np.load(
             os.path.join(index_dir, f"neighbors_level_{level}_row_splits.npy"))
         num_items = len(row_splits) - 1
-        neighbors[level] = pack_fixed_degree(values, row_splits, max_degree)
+        width = max_degree if level == 0 else max(max_degree // 2, 1)
+        # never truncate: widen to the true max degree if the cap is low
+        true_max = int(np.diff(row_splits).max()) if len(row_splits) > 1 else 1
+        width = max(width, min(true_max, max_degree))
+        neighbors[level] = pack_fixed_degree(values, row_splits, width)
     return IndexArtifacts(enter_points=enter_points.astype(np.int32),
                           neighbors=neighbors, num_items=num_items,
                           max_degree=max_degree)

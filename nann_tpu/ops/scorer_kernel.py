@@ -20,12 +20,10 @@ must match it to bf16 tolerance.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import ModelConfig
 from ..models.layers import Params, State

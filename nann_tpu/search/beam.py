@@ -34,7 +34,6 @@ Batched queries are the same program under jax.vmap.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, List, Tuple
 
 import jax
@@ -258,10 +257,11 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         keep = first & unvisited & (nb_sorted < n)
         num_fresh = jnp.sum(keep)
 
-        order = jnp.argsort(~keep, stable=True)[:f_cap]
-        fresh = jnp.take(nb_sorted, order)
-        fresh_valid = jnp.take(keep, order)
-        fresh = jnp.where(fresh_valid, fresh, sentinel)
+        # compaction: kept ids to the front by value-sorting with dropped
+        # slots mapped to the sentinel — same result set as a stable
+        # partition but a plain sort instead of an argsort + gathers
+        fresh = jnp.sort(jnp.where(keep, nb_sorted, sentinel))[:f_cap]
+        fresh_valid = fresh < n
 
         # mark the selected (scored) nodes visited for this level's epoch;
         # overflow beyond f_cap stays unvisited and may be rediscovered

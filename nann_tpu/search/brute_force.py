@@ -12,7 +12,6 @@ whole oracle is one jitted program regardless of corpus size; each chunk is a
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Tuple
 
 import jax

@@ -22,12 +22,10 @@ touchpoints differ.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig, SearchConfig
@@ -138,13 +136,6 @@ def make_distributed_searcher(mcfg: ModelConfig, scfg: SearchConfig,
     core = make_searcher(mcfg, scfg, backend=be)
     if batch is not None:
         core = jax.vmap(core, in_axes=(None, None, None, 0, None))
-
-    index_specs = SearchIndex(
-        item_embs=P(axis, None),
-        item_ids=P(axis),
-        enter_points=P(),
-        neighbors=None,  # filled per-call (level keys vary); see wrapper
-    )
 
     def search(params, state, index: SearchIndex, user_seq_emb, level_topn):
         specs = SearchIndex(

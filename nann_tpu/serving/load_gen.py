@@ -16,7 +16,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from .engine import Engine, RequestRejected
+from .engine import Engine
 
 
 @dataclasses.dataclass

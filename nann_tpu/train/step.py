@@ -12,7 +12,6 @@ MirroredStrategy stats).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
