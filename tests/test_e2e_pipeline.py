@@ -1,0 +1,67 @@
+"""End-to-end CLI pipeline test: the whole framework through main().
+
+Covers the full reference workflow in-process on tiny synthetic data:
+train -> extract_feature -> build_index -> test_all -> test -> export ->
+verify_export, then the parity job. This is the top of the test pyramid;
+subsystem details are covered by the per-module tests.
+"""
+
+import numpy as np
+import pytest
+
+from nann_tpu import main as cli
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pipe"))
+    argv = [
+        "--job-type", "all", "--synthetic",
+        "--num-item", "2000", "--num-cate", "30", "--num-users", "250",
+        "--max-seq-length", "12", "--batch-size", "64", "--num-neg", "16",
+        "--train-epochs", "10", "--max-steps", "80",
+        "--top-k-per-level", "150", "80", "40", "--topk-eval", "80",
+        "--num-test-batch", "32", "--frontier-cap", "512",
+        "--print-freq", "40", "--save-freq", "60",
+        "--output-root", out,
+    ]
+    cli.main(argv)
+    return out, argv
+
+
+def test_artifacts_exist(pipeline_out):
+    import os
+    out, _ = pipeline_out
+    for rel in ("model", "embeddings/item_ids.npy", "embeddings/item_embs.npy",
+                "index/enter_points.npy", "index/neighbors_level_0_values.npy",
+                "export/scorer_params.npz", "export/model_config.json",
+                "export/index/enter_points.npy"):
+        assert os.path.exists(os.path.join(out, rel)), rel
+
+
+def test_embeddings_shape(pipeline_out):
+    out, _ = pipeline_out
+    embs = np.load(f"{out}/embeddings/item_embs.npy")
+    assert embs.shape == (2000, 64)
+    assert np.isfinite(embs).all()
+
+
+def test_parity_job(pipeline_out):
+    out, argv = pipeline_out
+    args = cli.parse_opt([a if a != "all" else "parity" for a in argv])
+    mcfg, tcfg, scfg = cli.build_configs(args)
+    paths = cli.Paths(out)
+    report = cli.job_parity(args, mcfg, tcfg, scfg, paths)
+    # the graph search must recover a large fraction of the oracle's recall
+    assert report["parity@80"] > 0.6, report
+
+
+def test_resume_then_more_training(pipeline_out):
+    """Auto-resume: a second short train run must pick up the checkpoint."""
+    out, argv = pipeline_out
+    args = cli.parse_opt(argv)
+    args.max_steps = 5
+    mcfg, tcfg, scfg = cli.build_configs(args)
+    paths = cli.Paths(out)
+    state = cli.job_train(args, mcfg, tcfg, scfg, paths)
+    assert int(state.step) > 80  # continued past the first run's steps
