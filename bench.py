@@ -83,6 +83,9 @@ def main():
                     help="also measure a batch-size sweep")
     ap.add_argument("--recall", action="store_true",
                     help="also measure recall@100 vs the brute-force oracle")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the measured "
+                         "section into DIR (tracing parity, SURVEY §5.1)")
     args = ap.parse_args()
     if args.quick:
         args.items = min(args.items, 20_000)
@@ -132,7 +135,12 @@ def main():
         jax.block_until_ready(r)
         return (time.perf_counter() - t0) / reps * 1e3
 
-    lat1_ms = pipelined_ms(search1, params, state, sidx, user1, ltn)
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            lat1_ms = pipelined_ms(search1, params, state, sidx, user1, ltn)
+        print(f"# profiler trace written to {args.profile}", file=sys.stderr)
+    else:
+        lat1_ms = pipelined_ms(search1, params, state, sidx, user1, ltn)
     p50 = p99 = lat1_ms
 
     # batched throughput (back-to-back async dispatch)

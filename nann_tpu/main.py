@@ -165,9 +165,11 @@ def job_train(args, mcfg, tcfg, scfg, paths):
 
     train, _test, feats = load_dataset(args)
     mesh = make_mesh(dp=tcfg.dp, mp=1) if tcfg.dp > 1 else None
-    state, metrics = train_loop(mcfg, tcfg, train, feats,
-                                ckpt_dir=paths.model_save_dir,
-                                num_steps=args.max_steps, mesh=mesh)
+    state, metrics = train_loop(
+        mcfg, tcfg, train, feats,
+        ckpt_dir=paths.model_save_dir,
+        num_steps=args.max_steps, mesh=mesh,
+        metrics_path=os.path.join(args.output_root, "train_metrics.jsonl"))
     logger.info(f"train done: {metrics}")
     return state
 

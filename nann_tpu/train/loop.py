@@ -41,8 +41,15 @@ def train_loop(mcfg: ModelConfig, tcfg: TrainConfig,
                item_features: Dict[str, np.ndarray],
                ckpt_dir: Optional[str] = None,
                num_steps: Optional[int] = None,
-               mesh=None) -> Tuple[TrainState, Dict[str, float]]:
-    """Run training; returns (final_state, final_metrics)."""
+               mesh=None,
+               metrics_path: Optional[str] = None
+               ) -> Tuple[TrainState, Dict[str, float]]:
+    """Run training; returns (final_state, final_metrics).
+
+    metrics_path: optional JSONL sink for step metrics — the TensorBoard
+    scalar summaries of the reference trainer (main.py:69-77) as a flat file
+    any dashboard can tail.
+    """
     from ..data import BatchIterator
 
     feats = {k: jnp.asarray(v) for k, v in item_features.items()}
@@ -84,6 +91,12 @@ def train_loop(mcfg: ModelConfig, tcfg: TrainConfig,
             logger.info(f"[{step_idx}/{total + start_step}] " +
                         ", ".join(str(m) for m in meters.values()) +
                         f", {bt}")
+            if metrics_path:
+                import json
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps({"step": step_idx,
+                                        "batch_time": bt.val,
+                                        **metrics_host}) + "\n")
         tic = time.time()
 
         if ckpt_dir and (step_idx % tcfg.save_freq == 0
