@@ -1,0 +1,62 @@
+"""Multi-device engine pool tests on the 8-virtual-device mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from nann_tpu.config import ModelConfig, SearchConfig
+from nann_tpu.index import build_and_save_index, load_index
+from nann_tpu.models import init_scorer
+from nann_tpu.search import SearchIndex
+from nann_tpu.serving import EngineConfig
+from nann_tpu.serving.pool import EnginePool
+
+
+@pytest.fixture(scope="module")
+def pool(tmp_path_factory):
+    mcfg = ModelConfig(num_item=400, num_cate=10, emb_dim=8, max_seq_length=6,
+                       item_tower_dims=(16, 16, 16), head_dims=(16, 8, 8, 1))
+    scfg = SearchConfig(top_k_per_level=(30, 15, 8), topk_eval=(30,),
+                        frontier_cap=128)
+    params, state = init_scorer(jax.random.PRNGKey(0), mcfg)
+    rng = np.random.default_rng(0)
+    embs = rng.standard_normal((400, 16)).astype(np.float32)
+    d = tmp_path_factory.mktemp("poolidx")
+    build_and_save_index(embs, 2, 8, str(d), ef_construction=25)
+    sidx = SearchIndex.from_artifacts(load_index(str(d), 2, 16), embs,
+                                      np.arange(1, 401, dtype=np.int32))
+    p = EnginePool(mcfg, scfg, params, state, sidx,
+                   devices=jax.devices()[:4],
+                   config=EngineConfig(batch_buckets=(1, 2), wait_ms=1.0,
+                                       warmup=False))
+    yield p
+    p.shutdown()
+
+
+def test_pool_round_robin_spreads_load(pool):
+    rng = np.random.default_rng(1)
+    futs = [pool.submit(rng.standard_normal((6, 16)).astype(np.float32))
+            for _ in range(12)]
+    outs = [f.result(timeout=60) for f in futs]
+    assert all(len(o[0]) == 30 for o in outs)
+    agg = pool.aggregate_metrics()
+    assert agg["total"] == 12
+    # every engine served at least one request
+    assert all(c > 0 for c in agg["per_engine"]), agg["per_engine"]
+
+
+def test_pool_engines_on_distinct_devices(pool):
+    devs = set()
+    for eng in pool.engines:
+        leaf = jax.tree_util.tree_leaves(eng._model[0])[0]
+        devs |= set(leaf.devices())
+    assert len(devs) == 4
+
+
+def test_pool_results_consistent_across_devices(pool):
+    rng = np.random.default_rng(2)
+    user = rng.standard_normal((6, 16)).astype(np.float32)
+    outs = [pool.search_sync(user) for _ in range(4)]  # hits all 4 engines
+    base = outs[0][0]
+    for items, _ in outs[1:]:
+        np.testing.assert_array_equal(items, base)
