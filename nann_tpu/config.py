@@ -77,9 +77,9 @@ class SearchConfig:
     topk_eval: Sequence[int] = (200,)
     # static frontier capacity per scoring hop in the fused jitted search
     # (candidates*max_degree is the upper bound; this caps wasted FLOPs).
+    # This single knob replaces the reference's 75-bucket warmup ladder:
+    # the fused program has exactly one frontier shape per hop.
     frontier_cap: int = 4096
-    # bucket ladder for frontier padding (reference: opt_default.conf warmup ladder)
-    buckets: Sequence[int] = (256, 512, 1024, 2048, 4096)
 
     def validate(self) -> None:
         assert len(self.num_scoring_per_level) == self.hnsw_start_level + 1

@@ -65,8 +65,26 @@ class NannServer:
                     return
                 if self.path.endswith(":predict"):
                     self._predict(req)
+                elif self.path.endswith(":reload"):
+                    self._reload(req)
                 else:
                     self._reply(404, {"error": "not found"})
+
+            def _reload(self, req):
+                export_dir = req.get("export_dir")
+                if not export_dir:
+                    self._reply(400, {"error": "export_dir required"})
+                    return
+                try:
+                    from ..delivery.verify_export import load_serving_bundle
+                    params, state, _mcfg, sidx = load_serving_bundle(
+                        export_dir, outer.engine.scfg)
+                    outer.engine.swap_model(params, state, sidx)
+                except Exception as e:  # noqa: BLE001
+                    self._reply(500, {"error": str(e)})
+                    return
+                self._reply(200, {"status": "reloaded",
+                                  "export_dir": export_dir})
 
             def _predict(self, req):
                 try:

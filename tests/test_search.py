@@ -96,8 +96,7 @@ def search_setup(trained, tmp_path_factory):
     art = load_index(str(index_dir), start_level=2, max_degree=32)
     sidx = SearchIndex.from_artifacts(art, item_embs, item_ids)
     scfg = SearchConfig(top_k_per_level=(100, 50, 25), topk_eval=(100,),
-                        frontier_cap=1024,
-                        buckets=(256, 512, 1024))
+                        frontier_cap=1024)
     return mcfg, state, test, sidx, scfg
 
 

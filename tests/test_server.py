@@ -84,6 +84,37 @@ def test_wrong_shape(server):
     assert status == 400
 
 
+def test_reload_endpoint(server, tmp_path):
+    """POST :reload with a fresh export bundle hot-swaps the model."""
+    import shutil
+    import jax as _jax
+    from nann_tpu.delivery import export_model
+    from nann_tpu.index import build_and_save_index as _build
+    from nann_tpu.models import init_scorer as _init
+
+    eng = server.engine
+    mcfg, scfg = eng.mcfg, eng.scfg
+    rng = np.random.default_rng(9)
+    user = rng.standard_normal((6, 16)).astype(np.float32)
+    before, _ = eng.search_sync(user)
+
+    params2, state2 = _init(_jax.random.PRNGKey(77), mcfg)
+    embs = rng.standard_normal((500, 16)).astype(np.float32)
+    export_dir = str(tmp_path / "bundle")
+    export_model(export_dir, params2, state2, mcfg, scfg,
+                 np.arange(1, 501, dtype=np.int32), embs)
+    _build(embs, 2, 8, export_dir + "/index", ef_construction=25)
+
+    status, resp = _post(server.port, "/v1/models/nann:reload",
+                         {"export_dir": export_dir})
+    assert status == 200, resp
+    after, _ = eng.search_sync(user)
+    assert not np.array_equal(before, after)
+
+    status, resp = _post(server.port, "/v1/models/nann:reload", {})
+    assert status == 400
+
+
 def test_model_status(server):
     with urllib.request.urlopen(
             f"http://127.0.0.1:{server.port}/v1/models/nann", timeout=10) as r:
