@@ -70,6 +70,28 @@ def test_distributed_batched(setup):
     np.testing.assert_array_equal(np.asarray(local[0]), np.asarray(dist[0]))
 
 
+def test_distributed_int8_index(setup, tmp_path_factory):
+    """Row-sharded quantized index: int8 rows psum-gathered then dequantized
+    must match the local int8 search exactly."""
+    mcfg, scfg, params, state, sidx, user = setup
+    import numpy as _np
+    from nann_tpu.index import load_index as _load
+    # rebuild an int8 SearchIndex from the same artifacts
+    embs32 = _np.asarray(sidx.item_embs, _np.float32)
+    art_dir = tmp_path_factory.mktemp("d8idx")
+    from nann_tpu.index import build_and_save_index as _build
+    _build(embs32, 2, 8, str(art_dir), ef_construction=40)
+    art = _load(str(art_dir), 2, max_degree=16)
+    s8 = SearchIndex.from_artifacts(art, embs32,
+                                    _np.asarray(sidx.item_ids), dtype="int8")
+    mesh = make_mesh(dp=1, mp=8)
+    ltn = jnp.asarray(level_topn_default(scfg))
+    local = jax.jit(make_searcher(mcfg, scfg))(params, state, s8, user, ltn)
+    dist = jax.jit(make_distributed_searcher(mcfg, scfg, mesh))(
+        params, state, shard_index(mesh, s8), user, ltn)
+    np.testing.assert_array_equal(np.asarray(local[0]), np.asarray(dist[0]))
+
+
 def test_distributed_mp2_with_dp_axis_present(setup):
     """mp=2 on a mesh that also has a dp axis (the serving-pool layout)."""
     mcfg, scfg, params, state, sidx, user = setup
