@@ -327,7 +327,18 @@ def job_serve_bench(args, mcfg, tcfg, scfg, paths):
     sidx = _load_search_index(args, mcfg, scfg, paths)
     engine = Engine(mcfg, scfg, state.params, state.bn_state, sidx,
                     EngineConfig(batch_buckets=(1, 4, args.search_batch)))
-    res = run_load_test(engine, LoadGenConfig(duration_s=10.0, qps=-1))
+    # bench conf JSON (gen_benchmark_conf.py parity): LoadGenConfig fields
+    lg = LoadGenConfig(duration_s=10.0, qps=-1)
+    conf_path = os.path.join(args.output_root, "benchmark_conf.json")
+    if os.path.exists(conf_path):
+        with open(conf_path) as f:
+            lg = LoadGenConfig(**json.load(f))
+        logger.info(f"loaded bench conf from {conf_path}: {lg}")
+    else:
+        import dataclasses as _dc
+        with open(conf_path, "w") as f:
+            json.dump(_dc.asdict(lg), f, indent=1)
+    res = run_load_test(engine, lg)
     engine.shutdown()
     logger.info(f"serve_bench: {res}")
     return res
