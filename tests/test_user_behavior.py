@@ -28,6 +28,27 @@ def test_load_csv_basic(tmp_path):
     np.testing.assert_array_equal(item_cate, [0, 0])
 
 
+def test_load_csv_no_trailing_newline(tmp_path):
+    """The last row must parse even without a final newline (the C parser's
+    carry path)."""
+    csv = tmp_path / "ub.csv"
+    with open(csv, "w") as f:
+        f.write("1,10,3,pv,100\n2,11,4,buy,200")  # no trailing \n
+    cols, item_cate = load_csv(str(csv))
+    meta = cols.pop("_meta")
+    assert meta["num_user"] == 2 and meta["num_item"] == 2
+    np.testing.assert_array_equal(cols["ts"], [100, 200])
+
+
+def test_load_csv_skips_short_rows(tmp_path):
+    csv = tmp_path / "ub.csv"
+    with open(csv, "w") as f:
+        f.write("1,10,3,pv,100\nbadrow\n2,11,4,pv,200\n")
+    cols, _ = load_csv(str(csv))
+    cols.pop("_meta")
+    assert len(cols["user"]) == 2
+
+
 def test_convert_end_to_end(tmp_path):
     rng = np.random.default_rng(0)
     rows = []
