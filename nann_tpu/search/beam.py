@@ -238,8 +238,13 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         """One hop: neighbor expansion -> dedup + visited filter -> compaction
         to f_cap -> DNN scoring. Returns (ids, scores, vis, scored_count)."""
         sentinel = n
-        valid_cand = cand_scores > NEG_INF
-        nb = be.take_rows(index.neighbors[level], cand_ids, n)
+        # sort candidates before the row gather: expansion is set-semantics so
+        # order is free, and ascending ids give the [N, deg] table gather
+        # memory locality (invalid slots sort to the sentinel tail)
+        cand_sorted = jnp.sort(jnp.where(cand_scores > NEG_INF, cand_ids,
+                                         sentinel))
+        valid_cand = cand_sorted < n
+        nb = be.take_rows(index.neighbors[level], cand_sorted, n)
         nb = jnp.where(valid_cand[:, None], nb, sentinel).reshape(-1)
 
         f_cap = min(f_cap, nb.shape[0])

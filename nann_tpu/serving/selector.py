@@ -119,14 +119,28 @@ class ModelSelector:
     def submit(self, *args, **kwargs):
         return self.active.submit(*args, **kwargs)
 
-    def start_switching(self, switch_interval_s: float) -> None:
-        """Cycle the active model on a timer (ModelSelector::Start)."""
+    def start_switching(self, switch_interval_s: float,
+                        cold_switching: bool = False) -> None:
+        """Cycle the active model on a timer (ModelSelector::Start).
+
+        cold_switching (bench_conf.proto:28): drain the outgoing engine's
+        queue before pointing traffic at the next model, instead of switching
+        hot with both briefly in flight."""
+        import time as _time
+
         def loop():
             i = 0
             while not self._stop.wait(switch_interval_s):
+                outgoing = self.active
                 i = (i + 1) % len(self._order)
+                if cold_switching:
+                    deadline = _time.monotonic() + 5.0
+                    while (outgoing._queue.qsize() > 0
+                           and _time.monotonic() < deadline):
+                        _time.sleep(0.01)
                 self.select(self._order[i])
-                logger.info(f"switched active model -> {self._order[i]}")
+                logger.info(f"switched active model -> {self._order[i]}"
+                            f"{' (cold)' if cold_switching else ''}")
 
         self._thread = threading.Thread(target=loop, daemon=True)
         self._thread.start()

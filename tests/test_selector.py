@@ -80,7 +80,7 @@ def test_selector_switching(parts):
             sel.select("missing")
 
         sel.select("a")
-        sel.start_switching(0.05)
+        sel.start_switching(0.05, cold_switching=True)
         time.sleep(0.18)
         sel.stop()
         # it cycled at least once
