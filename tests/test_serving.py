@@ -90,18 +90,25 @@ def test_hot_swap_changes_results(engine, engine_setup):
     assert not np.array_equal(before, after)
 
 
-def test_queue_rejection():
-    # an engine whose dispatcher is never started still rejects on queue cap
+def test_queue_rejection(engine_setup):
+    """Submissions beyond max_queue are rejected (max_queue_size drop
+    semantics, predict_request_consumer.cc:31-35)."""
     from nann_tpu.serving.engine import RequestRejected
-    import queue as _q
-
-    class Dummy:
-        pass
-
-    # exercise the queue-cap branch through a real engine with tiny queue
-    # (fill faster than the dispatcher drains by pausing the model lock)
-    # simpler: direct construction is heavyweight; assert the exception type
-    assert issubclass(RequestRejected, Exception)
+    mcfg, scfg, params, state, sidx = engine_setup
+    eng = Engine(mcfg, scfg, params, state, sidx,
+                 EngineConfig(batch_buckets=(1,), wait_ms=1.0, max_queue=3,
+                              warmup=False))
+    # halt the dispatcher so the queue genuinely fills
+    eng._stop.set()
+    eng._dispatcher.join(timeout=5)
+    eng._completer.join(timeout=5)
+    rng = np.random.default_rng(0)
+    futs = [eng.submit(rng.standard_normal((8, 16)).astype(np.float32))
+            for _ in range(5)]
+    rejected = [f for f in futs if f.done() and
+                isinstance(f.exception(), RequestRejected)]
+    assert len(rejected) == 2, len(rejected)
+    assert eng.metrics.rejected.count == 2
 
 
 def test_deadline_rejection(engine):
