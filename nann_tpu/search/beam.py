@@ -238,13 +238,11 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         """One hop: neighbor expansion -> dedup + visited filter -> compaction
         to f_cap -> DNN scoring. Returns (ids, scores, vis, scored_count)."""
         sentinel = n
-        # sort candidates before the row gather: expansion is set-semantics so
-        # order is free, and ascending ids give the [N, deg] table gather
-        # memory locality (invalid slots sort to the sentinel tail)
-        cand_sorted = jnp.sort(jnp.where(cand_scores > NEG_INF, cand_ids,
-                                         sentinel))
-        valid_cand = cand_sorted < n
-        nb = be.take_rows(index.neighbors[level], cand_sorted, n)
+        # (measured: pre-sorting candidates for gather locality is neutral on
+        # v5e at 200k-1M items — the working set, not the access order, is
+        # what the 1M slowdown costs; keep score order)
+        valid_cand = cand_scores > NEG_INF
+        nb = be.take_rows(index.neighbors[level], cand_ids, n)
         nb = jnp.where(valid_cand[:, None], nb, sentinel).reshape(-1)
 
         f_cap = min(f_cap, nb.shape[0])
