@@ -30,6 +30,20 @@ def setup(tmp_path_factory):
     return mcfg, scfg, params, state, sidx, user
 
 
+def test_pallas_search_vmapped(setup):
+    """The pallas-scorer search must batch under vmap (pallas batching rule)."""
+    mcfg, scfg, params, state, sidx, user = setup
+    ltn = jnp.asarray(level_topn_default(scfg))
+    searcher = make_searcher(mcfg, scfg, use_pallas_scorer=True,
+                             pallas_tile=128, pallas_interpret=True)
+    users = jnp.stack([user, user * 0.5])
+    out = jax.jit(jax.vmap(searcher, in_axes=(None, None, None, 0, None)))(
+        params, state, sidx, users, ltn)
+    single = jax.jit(searcher)(params, state, sidx, user, ltn)
+    np.testing.assert_array_equal(np.asarray(out[0][0]),
+                                  np.asarray(single[0]))
+
+
 def test_pallas_search_matches_xla_search(setup):
     mcfg, scfg, params, state, sidx, user = setup
     ltn = jnp.asarray(level_topn_default(scfg))
