@@ -86,6 +86,10 @@ def main():
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the measured "
                          "section into DIR (tracing parity, SURVEY §5.1)")
+    ap.add_argument("--chained", type=int, default=0, metavar="N",
+                    help="also measure device-true single-query latency by "
+                         "chaining N searches inside one program (immune to "
+                         "host/relay dispatch overhead; costs one compile)")
     args = ap.parse_args()
     if args.quick:
         args.items = min(args.items, 20_000)
@@ -157,6 +161,28 @@ def main():
     num_scoring = int(np.asarray(out[2]).sum())
 
     extras = {}
+    if args.chained:
+        # N data-dependent searches in ONE program: each iteration perturbs
+        # the user embedding by a hash of the previous result, so XLA cannot
+        # collapse the loop — wall/N is pure device time per query.
+        N = args.chained
+
+        @jax.jit
+        def chained(params, state, sidx, user, ltn):
+            def body(_i, carry):
+                u = user + carry * 1e-12
+                _items, scores, _ns = searcher(params, state, sidx, u, ltn)
+                return scores[0]
+            return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+
+        jax.block_until_ready(chained(params, state, sidx, user1, ltn))
+        t0 = time.perf_counter()
+        jax.block_until_ready(chained(params, state, sidx, user1, ltn))
+        dev_ms = (time.perf_counter() - t0) / N * 1e3
+        extras["device_latency_ms_per_query"] = round(dev_ms, 3)
+        print(f"# chained device latency: {dev_ms:.3f} ms/query",
+              file=sys.stderr)
+
     if args.sweep:
         for b in (4, 32, 64):
             userS = jnp.asarray(rng.standard_normal(
