@@ -407,6 +407,11 @@ JOBS = {
 
 def main(argv=None):
     args = parse_opt(argv)
+    # persistent XLA compile cache (the reference's PTX/CUBIN cache
+    # equivalent); must be set before jax initialises — jobs import jax lazily
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "nann_tpu_xla"))
     mcfg, tcfg, scfg, = build_configs(args)
     paths = Paths(args.output_root)
     logger.info(f"job={args.job_type} model={mcfg} train={tcfg} search={scfg}")
