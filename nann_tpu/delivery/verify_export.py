@@ -26,7 +26,7 @@ logger = get_logger("nann_tpu.verify_export")
 
 
 def load_serving_bundle(export_dir: str, scfg: SearchConfig,
-                        max_degree: int = 64, dtype=None):
+                        max_degree=None, dtype=None):
     """Cold-load an export bundle -> (params, state, mcfg, SearchIndex)."""
     import jax
     import jax.numpy as jnp

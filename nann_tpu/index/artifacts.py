@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
@@ -54,30 +54,34 @@ class IndexArtifacts:
         return len(self.neighbors)
 
 
-def load_index(index_dir: str, start_level: int, max_degree: int = 64
-               ) -> IndexArtifacts:
+def load_index(index_dir: str, start_level: int,
+               max_degree: Optional[int] = None) -> IndexArtifacts:
     """Load the npy artifact contract and pack for TPU.
 
-    max_degree applies to the ground level (HNSW stores up to 2M neighbors
-    there); upper levels cap at M, so they pack at half the width — this
-    halves their expansion size in the search. Rows longer than the packed
-    width (possible only if max_degree was chosen below the build's 2M) are
-    truncated by pack_fixed_degree.
+    With max_degree=None (default), each level packs at its true maximum
+    degree — lossless regardless of the build's M. An explicit max_degree
+    caps the ground level (upper levels cap at half: HNSW stores up to 2M
+    neighbors at ground, M above); rows beyond the cap are truncated.
     """
     enter_points = np.load(os.path.join(index_dir, "enter_points.npy"))
     neighbors = {}
     num_items = 0
+    widest = 1
     for level in range(0, start_level):
         values = np.load(os.path.join(index_dir,
                                       f"neighbors_level_{level}_values.npy"))
         row_splits = np.load(
             os.path.join(index_dir, f"neighbors_level_{level}_row_splits.npy"))
         num_items = len(row_splits) - 1
-        width = max_degree if level == 0 else max(max_degree // 2, 1)
-        # never truncate: widen to the true max degree if the cap is low
         true_max = int(np.diff(row_splits).max()) if len(row_splits) > 1 else 1
-        width = max(width, min(true_max, max_degree))
+        true_max = max(true_max, 1)
+        if max_degree is None:
+            width = true_max
+        else:
+            cap = max_degree if level == 0 else max(max_degree // 2, 1)
+            width = min(true_max, cap)
+        widest = max(widest, width)
         neighbors[level] = pack_fixed_degree(values, row_splits, width)
     return IndexArtifacts(enter_points=enter_points.astype(np.int32),
                           neighbors=neighbors, num_items=num_items,
-                          max_degree=max_degree)
+                          max_degree=widest)

@@ -106,13 +106,16 @@ def build_and_save_index(embeddings: np.ndarray, start_level: int,
     os.makedirs(output_dir, exist_ok=True)
     levels, csr = build_hnsw(embeddings, num_neighbors, ef_construction, seed)
 
-    enter_points = np.nonzero(levels > start_level)[0].astype(np.int64)
+    # Reference semantics (build_hnsw_index.py:45): faiss's hnsw.levels are
+    # 1-based level counts, so `levels > start_level` there selects nodes with
+    # 0-based top level >= start_level. Our `levels` are 0-based top levels.
+    enter_points = np.nonzero(levels >= start_level)[0].astype(np.int64)
     if enter_points.size == 0:
         # tiny indexes may top out below start_level; fall back to the highest
         # populated level so search still has entry points
         top = levels.max()
         enter_points = np.nonzero(levels >= top)[0].astype(np.int64)
-        logger.info(f"no nodes above start_level={start_level}; "
+        logger.info(f"no nodes at start_level={start_level}; "
                     f"using {enter_points.size} nodes of level {top}")
     np.save(os.path.join(output_dir, "enter_points.npy"), enter_points)
 

@@ -66,7 +66,8 @@ def bitmap_difference(ids: jnp.ndarray, bm: jnp.ndarray
     """Pure difference: ids whose bit is NOT set, compacted left.
 
     Returns (out_ids [len(ids)] with -1 padding, count)."""
-    keep = ~bitmap_test(bm, ids) & (ids >= 0)
+    num_bits = bm.shape[0] * 32
+    keep = ~bitmap_test(bm, ids) & (ids >= 0) & (ids < num_bits)
     order = jnp.argsort(~keep, stable=True)
     out = jnp.where(keep[order], ids[order], -1)
     return out, jnp.sum(keep)

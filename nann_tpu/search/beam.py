@@ -234,9 +234,11 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         return jnp.where(valid, scores, NEG_INF)
 
     def expand_filter_score(params, state, index, user_seq_emb, vis, epoch,
-                            level, cand_ids, cand_scores, f_cap, n):
+                            level, cand_ids, cand_scores, f_cap, n, mix=0):
         """One hop: neighbor expansion -> dedup + visited filter -> compaction
-        to f_cap -> DNN scoring. Returns (ids, scores, vis, scored_count)."""
+        to f_cap -> DNN scoring. Returns (ids, scores, vis, scored_count).
+
+        mix: static per-hop salt for the overflow-truncation shuffle."""
         sentinel = n
         # (measured: pre-sorting candidates for gather locality is neutral on
         # v5e at 200k-1M items — the working set, not the access order, is
@@ -260,15 +262,22 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         keep = first & unvisited & (nb_sorted < n)
         num_fresh = jnp.sum(keep)
 
-        # compaction: kept ids to the front by value-sorting with dropped
-        # slots mapped to the sentinel — same result set as a stable
-        # partition but a plain sort instead of an argsort + gathers
-        fresh = jnp.sort(jnp.where(keep, nb_sorted, sentinel))[:f_cap]
-        fresh_valid = fresh < n
+        # mark EVERY fresh node visited (reference BitmapRefDifference marks
+        # all ids it returns); nb_sorted is sorted and keep-masked unique, so
+        # the scatter stays vectorized
+        vis = be.vis_mark_sorted(
+            vis, jnp.where(keep, nb_sorted, sentinel), epoch, n)
 
-        # mark the selected (scored) nodes visited for this level's epoch;
-        # overflow beyond f_cap stays unvisited and may be rediscovered
-        vis = be.vis_mark_sorted(vis, fresh, epoch, n)
+        # compaction to the scoring cap: kept ids to the front by value-sort.
+        # When unique fresh nodes exceed f_cap, selecting ascending ids would
+        # systematically favor low catalogue ids, so sort by an XOR-mixed
+        # bijection of the id (per-hop salt) — an unbiased pseudo-random
+        # truncation; ids are recovered by the inverse XOR
+        salt = (0x1F123BB5 * (mix + 1)) & 0x3FFFFFFF if n > f_cap else 0
+        key = jnp.where(keep, nb_sorted ^ salt, jnp.int32(2**31 - 1))
+        fresh_key = jnp.sort(key)[:f_cap]
+        fresh_valid = fresh_key != jnp.int32(2**31 - 1)
+        fresh = jnp.where(fresh_valid, fresh_key ^ salt, sentinel)
 
         scores = score_items(params, state, user_seq_emb, fresh, fresh_valid,
                              n, index.item_embs)
@@ -302,7 +311,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
             for _ in range(scfg.num_scoring_per_level[level]):
                 fresh, fscores, vis, cnt = expand_filter_score(
                     params, state, index, user_seq_emb, vis, epoch, level,
-                    cand_ids, cand_scores, scfg.frontier_cap, n)
+                    cand_ids, cand_scores, scfg.frontier_cap, n,
+                    mix=len(num_scoring))
                 num_scoring.append(cnt)
                 res_ids, res_scores = _masked_topk(
                     jnp.concatenate([res_ids, fresh]),
@@ -351,7 +361,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
             for _ in range(scfg.num_scoring_per_level[level]):
                 fresh, fscores, vis, cnt = expand_filter_score(
                     params, state, index, user_seq_emb, vis, epoch, level,
-                    cand_ids, cand_scores, scfg.frontier_cap, n)
+                    cand_ids, cand_scores, scfg.frontier_cap, n,
+                    mix=len(num_scoring))
                 num_scoring.append(cnt)
                 merged_ids = jnp.concatenate([res_ids, fresh])
                 merged_scores = jnp.concatenate([res_scores, fscores])
@@ -370,7 +381,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         for i in range(hop_caps):
             fresh, fscores, vis, cnt = expand_filter_score(
                 params, state, index, user_seq_emb, vis, epoch, 0,
-                cand_ids, cand_scores, scfg.frontier_cap, n)
+                cand_ids, cand_scores, scfg.frontier_cap, n,
+                mix=len(num_scoring))
             num_scoring.append(cnt)
             cand_ids, cand_scores = _masked_topk(
                 fresh, fscores, k_hop_cap, level_topn[t + i], sentinel)

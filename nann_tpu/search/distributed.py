@@ -48,13 +48,8 @@ class ShardedBackend(LocalBackend):
         return lo
 
     def take_rows(self, table, ids, n):
-        rows_local = table.shape[0]
-        lo = self._my_range(rows_local)
-        local = ids.astype(jnp.int32) - lo
-        mine = (local >= 0) & (local < rows_local)
-        got = jnp.take(table, jnp.clip(local, 0, rows_local - 1), axis=0)
-        got = jnp.where(mine[..., None], got, 0).astype(table.dtype)
-        return jax.lax.psum(got, self.axis)
+        from ..parallel.collectives import _local_gather_psum
+        return _local_gather_psum(table, ids, self.axis)
 
     def take_ids(self, item_ids, ids, n):
         # item_ids row-sharded [n/S]; same masked psum in 1-D

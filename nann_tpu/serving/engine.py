@@ -96,6 +96,8 @@ class Engine:
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._inflight: "queue.Queue[Tuple]" = queue.Queue(maxsize=4)
+        self._holdback: list = []          # dispatcher-thread only
+        self._current_batch: list = []     # dispatcher-thread only
         from collections import deque
         self._recorded = deque(maxlen=max(self.config.record_requests, 1))
         self._stop = threading.Event()
@@ -170,6 +172,11 @@ class Engine:
             return fut
         ltn = self._default_ltn if level_topn is None else \
             np.asarray(level_topn, np.int32)
+        if ltn.shape != self._default_ltn.shape:
+            fut.set_exception(ValueError(
+                f"level_topn must have shape {self._default_ltn.shape}, "
+                f"got {ltn.shape}"))
+            return fut
         self._queue.put(_Request(np.asarray(user_seq_emb, np.float32),
                                  ltn, fut, time.perf_counter(), deadline_ms))
         return fut
@@ -181,13 +188,18 @@ class Engine:
     # ------------------------------------------------------------- internals
 
     def _take_batch(self) -> Optional[list]:
-        """Collect up to max-bucket requests within the wait_ms window."""
-        try:
-            first = self._queue.get(timeout=0.05)
-        except queue.Empty:
-            return None
-        batch = [first]
+        """Collect up to max-bucket requests within the wait_ms window.
+
+        Requests held back by a previous cycle (mixed level_topn) go first so
+        a steady stream of default-budget traffic cannot starve them."""
+        batch = list(self._holdback)
+        self._holdback.clear()
         max_b = max(self._fns)
+        if not batch:
+            try:
+                batch.append(self._queue.get(timeout=0.05))
+            except queue.Empty:
+                return None
         deadline = time.perf_counter() + self.config.wait_ms / 1e3
         while len(batch) < max_b:
             remaining = deadline - time.perf_counter()
@@ -201,37 +213,54 @@ class Engine:
 
     def _dispatch_loop(self) -> None:
         while not self._stop.is_set():
-            batch = self._take_batch()
-            if not batch:
-                continue
-            # reject requests whose admission deadline passed while queued
-            now = time.perf_counter()
-            expired = [r for r in batch if r.expired(now)]
-            batch = [r for r in batch if not r.expired(now)]
-            for r in expired:
-                self.metrics.rejected.mark()
-                r.future.set_exception(RequestRejected("deadline exceeded"))
-            if not batch:
-                continue
-            # requests sharing a level_topn run together; split odd ones off
-            ltn0 = batch[0].level_topn
-            same = [r for r in batch if np.array_equal(r.level_topn, ltn0)]
-            rest = [r for r in batch if not np.array_equal(r.level_topn, ltn0)]
-            for r in rest:
-                self._queue.put(r)
-            batch = same
+            try:
+                self._dispatch_once()
+            except Exception as e:  # noqa: BLE001 — a bad request must not
+                # kill the dispatcher thread and hang every later request
+                logger.info(f"dispatch failed: {e!r}")
+                batch = getattr(self, "_current_batch", None) or []
+                self.metrics.failures.mark(len(batch))
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+                self._current_batch = []
 
-            bucket = min(b for b in self._fns if b >= len(batch))
-            users = np.zeros((bucket, self.mcfg.max_seq_length,
-                              self.mcfg.user_emb_dim), np.float32)
-            for i, r in enumerate(batch):
-                users[i] = r.user_seq_emb
-            with self._model_lock:
-                params, state, index = self._model
-            out = self._fns[bucket](params, state, index,
-                                    jnp.asarray(users), jnp.asarray(ltn0))
-            self._inflight.put((batch, out))  # async: device still computing
-            self.metrics.batch_size.update(len(batch))
+    def _dispatch_once(self) -> None:
+        batch = self._take_batch()
+        if not batch:
+            return
+        self._current_batch = batch
+        # reject requests whose admission deadline passed while queued
+        now = time.perf_counter()
+        expired = [r for r in batch if r.expired(now)]
+        batch = [r for r in batch if not r.expired(now)]
+        for r in expired:
+            self.metrics.rejected.mark()
+            r.future.set_exception(RequestRejected("deadline exceeded"))
+        if not batch:
+            self._current_batch = []
+            return
+        # requests sharing a level_topn run together; hold the rest for the
+        # next cycle (front of line — see _take_batch)
+        ltn0 = batch[0].level_topn
+        same = [r for r in batch if np.array_equal(r.level_topn, ltn0)]
+        self._holdback.extend(
+            r for r in batch if not np.array_equal(r.level_topn, ltn0))
+        batch = same
+        self._current_batch = batch
+
+        bucket = min(b for b in self._fns if b >= len(batch))
+        users = np.zeros((bucket, self.mcfg.max_seq_length,
+                          self.mcfg.user_emb_dim), np.float32)
+        for i, r in enumerate(batch):
+            users[i] = r.user_seq_emb
+        with self._model_lock:
+            params, state, index = self._model
+        out = self._fns[bucket](params, state, index,
+                                jnp.asarray(users), jnp.asarray(ltn0))
+        self._inflight.put((batch, out))  # async: device still computing
+        self.metrics.batch_size.update(len(batch))
+        self._current_batch = []
 
     def _complete_loop(self) -> None:
         while not self._stop.is_set():
