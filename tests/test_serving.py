@@ -143,11 +143,33 @@ def test_concurrent_submitters_thread_safety(engine):
     assert all(r is not None and len(r[0]) == 50 for r in results)
 
 
+def test_dispatcher_survives_bad_request(engine):
+    """A request that blows up during dispatch (wrong user shape) must fail
+    its own future and leave the engine serving (review fix: the dispatcher
+    thread previously died)."""
+    rng = np.random.default_rng(13)
+    bad = engine.submit(rng.standard_normal((3, 7)).astype(np.float32))
+    with pytest.raises(Exception):
+        bad.result(timeout=30)
+    # engine still works afterwards
+    items, _ = engine.search_sync(rng.standard_normal((8, 16)).astype(np.float32))
+    assert len(items) == 50
+
+
+def test_submit_rejects_bad_level_topn_shape(engine):
+    rng = np.random.default_rng(14)
+    fut = engine.submit(rng.standard_normal((8, 16)).astype(np.float32),
+                        level_topn=np.asarray([5, 5], np.int32))
+    with pytest.raises(ValueError):
+        fut.result(timeout=10)
+
+
 def test_load_generator(engine):
+    failures_before = engine.metrics.failures.count
     res = run_load_test(engine, LoadGenConfig(duration_s=2.0, qps=200,
                                               num_producers=2), verbose=False)
     assert res["total"] > 50, res
-    assert res["failures"] == 0
+    assert res["failures"] == failures_before  # no new failures from the load
     assert res["latency_p99_us"] > 0
 
 
