@@ -95,7 +95,7 @@ class Engine:
         self._default_ltn = level_topn_default(scfg)
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()
-        self._inflight: "queue.Queue[Tuple]" = queue.Queue(maxsize=4)
+        self._inflight: "queue.Queue[Tuple]" = queue.Queue(maxsize=8)
         self._holdback: list = []          # dispatcher-thread only
         self._current_batch: list = []     # dispatcher-thread only
         from collections import deque
@@ -265,26 +265,44 @@ class Engine:
     def _complete_loop(self) -> None:
         while not self._stop.is_set():
             try:
-                batch, out = self._inflight.get(timeout=0.05)
+                pending = [self._inflight.get(timeout=0.05)]
             except queue.Empty:
                 continue
+            # drain everything already in flight and sync ONCE — host↔device
+            # sync has fixed cost (severe over relays), so amortize it over
+            # every completed batch instead of paying it per batch
+            while True:
+                try:
+                    pending.append(self._inflight.get_nowait())
+                except queue.Empty:
+                    break
             try:
-                items, scores, _ = jax.block_until_ready(out)
-                items = np.asarray(items)
-                scores = np.asarray(scores)
-                now = time.perf_counter()
-                for i, r in enumerate(batch):
-                    valid = items[i] >= 0
-                    r.future.set_result((items[i][valid], scores[i][valid]))
-                    lat_us = (now - r.enqueue_t) * 1e6
-                    self.metrics.latency_us.update(lat_us)
-                    if self.config.record_requests:
-                        self._recorded.append(
-                            (r.user_seq_emb, r.level_topn,
-                             items[i][valid], np.float32(lat_us)))
-                self.metrics.throughput.mark(len(batch))
-            except Exception as e:  # noqa: BLE001 — report per-request
-                self.metrics.failures.mark(len(batch))
-                for r in batch:
-                    if not r.future.done():
-                        r.future.set_exception(e)
+                jax.block_until_ready([out for _b, out in pending])
+            except Exception as e:  # noqa: BLE001 — fail all drained batches
+                for batch, _out in pending:
+                    self.metrics.failures.mark(len(batch))
+                    for r in batch:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+                continue
+            for batch, out in pending:
+                try:
+                    items = np.asarray(out[0])
+                    scores = np.asarray(out[1])
+                    now = time.perf_counter()
+                    for i, r in enumerate(batch):
+                        valid = items[i] >= 0
+                        r.future.set_result((items[i][valid],
+                                             scores[i][valid]))
+                        lat_us = (now - r.enqueue_t) * 1e6
+                        self.metrics.latency_us.update(lat_us)
+                        if self.config.record_requests:
+                            self._recorded.append(
+                                (r.user_seq_emb, r.level_topn,
+                                 items[i][valid], np.float32(lat_us)))
+                    self.metrics.throughput.mark(len(batch))
+                except Exception as e:  # noqa: BLE001 — report per-request
+                    self.metrics.failures.mark(len(batch))
+                    for r in batch:
+                        if not r.future.done():
+                            r.future.set_exception(e)
