@@ -119,7 +119,8 @@ def shard_index(mesh: Mesh, index: SearchIndex, axis: str = "mp"
 
 def make_distributed_searcher(mcfg: ModelConfig, scfg: SearchConfig,
                               mesh: Mesh, axis: str = "mp",
-                              batch: Optional[int] = None):
+                              batch: Optional[int] = None,
+                              semantics: str = "serving"):
     """Build the sharded search program.
 
     Returns search(params, state, sharded_index, user_seq_emb, level_topn)
@@ -128,7 +129,7 @@ def make_distributed_searcher(mcfg: ModelConfig, scfg: SearchConfig,
     """
     num_shards = mesh.shape[axis]
     be = ShardedBackend(axis, num_shards)
-    core = make_searcher(mcfg, scfg, backend=be)
+    core = make_searcher(mcfg, scfg, backend=be, semantics=semantics)
     if batch is not None:
         core = jax.vmap(core, in_axes=(None, None, None, 0, None))
 

@@ -92,6 +92,19 @@ def test_distributed_int8_index(setup, tmp_path_factory):
     np.testing.assert_array_equal(np.asarray(local[0]), np.asarray(dist[0]))
 
 
+def test_distributed_eval_semantics(setup):
+    """Eval-graph semantics must also match under row sharding."""
+    mcfg, scfg, params, state, sidx, user = setup
+    mesh = make_mesh(dp=1, mp=8)
+    ltn = jnp.asarray(level_topn_default(scfg, "eval"))
+    local = jax.jit(make_searcher(mcfg, scfg, semantics="eval"))(
+        params, state, sidx, user, ltn)
+    dist = jax.jit(make_distributed_searcher(mcfg, scfg, mesh,
+                                             semantics="eval"))(
+        params, state, shard_index(mesh, sidx), user, ltn)
+    np.testing.assert_array_equal(np.asarray(local[0]), np.asarray(dist[0]))
+
+
 def test_distributed_mp2_with_dp_axis_present(setup):
     """mp=2 on a mesh that also has a dp axis (the serving-pool layout)."""
     mcfg, scfg, params, state, sidx, user = setup
