@@ -59,6 +59,9 @@ class EngineConfig:
     warmup: bool = True
     record_requests: int = 0          # keep the last N served requests for
     #                                   runmeta-style dump/replay (SURVEY §5.1)
+    mesh: Optional[object] = None     # jax Mesh: serve the ROW-SHARDED index
+    #   (search/distributed.py) — the caller passes a shard_index()-placed
+    #   SearchIndex; swap_model expects sharded indexes too
 
 
 @dataclasses.dataclass
@@ -87,11 +90,17 @@ class Engine:
         self._model = (params, state, index)   # swapped atomically
         self._model_lock = threading.Lock()
 
-        searcher = make_searcher(mcfg, scfg)
         self._fns = {}
-        for b in sorted(self.config.batch_buckets):
-            self._fns[b] = jax.jit(jax.vmap(
-                searcher, in_axes=(None, None, None, 0, None)))
+        if self.config.mesh is not None:
+            from ..search.distributed import make_distributed_searcher
+            for b in sorted(self.config.batch_buckets):
+                self._fns[b] = jax.jit(make_distributed_searcher(
+                    mcfg, scfg, self.config.mesh, batch=b))
+        else:
+            searcher = make_searcher(mcfg, scfg)
+            for b in sorted(self.config.batch_buckets):
+                self._fns[b] = jax.jit(jax.vmap(
+                    searcher, in_axes=(None, None, None, 0, None)))
         self._default_ltn = level_topn_default(scfg)
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()

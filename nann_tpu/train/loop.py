@@ -28,6 +28,15 @@ from .step import TrainState, create_train_state, make_train_step
 logger = get_logger("nann_tpu.train")
 
 
+def _prune_checkpoints(ckpt_dir: str, keep: int) -> None:
+    """Keep only the newest `keep` checkpoints (tf.train.Saver max_to_keep)."""
+    import shutil
+    steps = sorted(int(d.split("_")[-1]) for d in os.listdir(ckpt_dir)
+                   if d.startswith("step_") and d.split("_")[-1].isdigit())
+    for s in steps[:-keep] if len(steps) > keep else []:
+        shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"), ignore_errors=True)
+
+
 def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None
@@ -103,6 +112,7 @@ def train_loop(mcfg: ModelConfig, tcfg: TrainConfig,
                          or step_idx + 1 == total + start_step):
             path = os.path.join(ckpt_dir, f"step_{step_idx + 1}")
             save_train_state(path, state)
+            _prune_checkpoints(ckpt_dir, keep=50)  # Saver max_to_keep parity
 
     if not metrics_host:
         metrics_host = {k: float("nan") for k in meters}
