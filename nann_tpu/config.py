@@ -59,6 +59,7 @@ class TrainConfig:
     num_neg: int = 200                # negatives per positive
     save_freq: int = 5000
     print_freq: int = 50
+    max_to_keep: int = 50             # checkpoint retention (Saver parity)
     seed: int = 0
     # parallelism: number of data-parallel shards (devices) for the train step
     dp: int = 1

@@ -93,14 +93,20 @@ class Engine:
         self._fns = {}
         if self.config.mesh is not None:
             from ..search.distributed import make_distributed_searcher
+            # one batched program shared across buckets (jit specializes per
+            # batch shape at the first call of each bucket)
+            dist = make_distributed_searcher(mcfg, scfg, self.config.mesh,
+                                             batch=max(
+                                                 self.config.batch_buckets))
+            jitted = jax.jit(dist)
             for b in sorted(self.config.batch_buckets):
-                self._fns[b] = jax.jit(make_distributed_searcher(
-                    mcfg, scfg, self.config.mesh, batch=b))
+                self._fns[b] = jitted
         else:
             searcher = make_searcher(mcfg, scfg)
+            jitted = jax.jit(jax.vmap(
+                searcher, in_axes=(None, None, None, 0, None)))
             for b in sorted(self.config.batch_buckets):
-                self._fns[b] = jax.jit(jax.vmap(
-                    searcher, in_axes=(None, None, None, 0, None)))
+                self._fns[b] = jitted
         self._default_ltn = level_topn_default(scfg)
 
         self._queue: "queue.Queue[_Request]" = queue.Queue()

@@ -34,7 +34,10 @@ def _prune_checkpoints(ckpt_dir: str, keep: int) -> None:
     steps = sorted(int(d.split("_")[-1]) for d in os.listdir(ckpt_dir)
                    if d.startswith("step_") and d.split("_")[-1].isdigit())
     for s in steps[:-keep] if len(steps) > keep else []:
-        shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"), ignore_errors=True)
+        path = os.path.join(ckpt_dir, f"step_{s}")
+        shutil.rmtree(path, ignore_errors=True)
+        if os.path.exists(path):
+            logger.info(f"could not prune checkpoint {path}")
 
 
 def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
@@ -112,7 +115,7 @@ def train_loop(mcfg: ModelConfig, tcfg: TrainConfig,
                          or step_idx + 1 == total + start_step):
             path = os.path.join(ckpt_dir, f"step_{step_idx + 1}")
             save_train_state(path, state)
-            _prune_checkpoints(ckpt_dir, keep=50)  # Saver max_to_keep parity
+            _prune_checkpoints(ckpt_dir, keep=tcfg.max_to_keep)
 
     if not metrics_host:
         metrics_host = {k: float("nan") for k in meters}

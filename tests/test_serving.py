@@ -176,32 +176,31 @@ def test_load_generator(engine):
 def test_engine_serves_row_sharded_index(engine_setup):
     """The engine can serve the distributed (mp row-sharded) searcher: results
     must match the local engine's."""
-    import jax
     from nann_tpu.parallel import make_mesh
     from nann_tpu.search.distributed import shard_index
 
     mcfg, scfg, params, state, sidx = engine_setup
-    # catalogue row count must divide the shard count
-    n = sidx.item_ids.shape[0]
-    assert n % 8 == 0 or True
+    if sidx.item_ids.shape[0] % 8:
+        pytest.skip("catalogue not divisible by 8 shards")
     mesh = make_mesh(dp=1, mp=8)
-    if n % 8:
-        pytest.skip("catalogue not divisible by 8")
-    eng_local = Engine(mcfg, scfg, params, state, sidx,
-                       EngineConfig(batch_buckets=(1, 2), wait_ms=1.0,
-                                    warmup=False))
-    eng_dist = Engine(mcfg, scfg, params, state, shard_index(mesh, sidx),
-                      EngineConfig(batch_buckets=(1, 2), wait_ms=1.0,
-                                   warmup=False, mesh=mesh))
+    engines = []
     try:
+        eng_local = Engine(mcfg, scfg, params, state, sidx,
+                           EngineConfig(batch_buckets=(1, 2), wait_ms=1.0,
+                                        warmup=False))
+        engines.append(eng_local)
+        eng_dist = Engine(mcfg, scfg, params, state, shard_index(mesh, sidx),
+                          EngineConfig(batch_buckets=(1, 2), wait_ms=1.0,
+                                       warmup=False, mesh=mesh))
+        engines.append(eng_dist)
         rng = np.random.default_rng(21)
         user = rng.standard_normal((8, 16)).astype(np.float32)
         a, _ = eng_local.search_sync(user)
         b, _ = eng_dist.search_sync(user)
         np.testing.assert_array_equal(a, b)
     finally:
-        eng_local.shutdown()
-        eng_dist.shutdown()
+        for e in engines:
+            e.shutdown()
 
 
 def test_runmeta_record_and_replay(engine_setup, tmp_path):
