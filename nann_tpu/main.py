@@ -38,7 +38,12 @@ def parse_opt(argv=None) -> argparse.Namespace:
     p.add_argument("--job-type", default="train",
                    choices=["train", "extract_feature", "build_index", "test",
                             "test_all", "export", "serve", "serve_bench",
-                            "verify_export", "parity", "all"])
+                            "verify_export", "parity", "build_tree",
+                            "test_tree", "all"])
+    p.add_argument("--tree-branch", type=int, default=16,
+                   help="k-ary branch factor for the TDM tree index")
+    p.add_argument("--tree-beam", type=int, default=200,
+                   help="beam width for tree search")
     p.add_argument("--port", type=int, default=8501)
     p.add_argument("--output-root", default="./output")
     p.add_argument("--dataset-dir", default="./data")
@@ -374,6 +379,62 @@ def job_verify_export(args, mcfg, tcfg, scfg, paths):
     return verify_export(paths.export_dir, scfg)
 
 
+def job_build_tree(args, mcfg, tcfg, scfg, paths):
+    """Build the TDM-style tree index over the extracted item embeddings
+    (the alternative retrieval family; index/tree_build.py)."""
+    from .index import build_tree, save_tree
+
+    item_embs = np.load(paths.item_embs_file)
+    tree = build_tree(item_embs, branch=args.tree_branch)
+    tree_dir = os.path.join(args.output_root, "tree_index")
+    save_tree(tree, tree_dir)
+    logger.info(f"tree index: {tree.num_levels} levels, branch "
+                f"{args.tree_branch} -> {tree_dir}")
+
+
+def job_test_tree(args, mcfg, tcfg, scfg, paths):
+    """Tree-retrieval eval: top-down DNN beam search vs ground truth."""
+    import jax
+    import jax.numpy as jnp
+    from .delivery import extract_user_embeddings
+    from .index import load_tree
+    from .search import DeviceTree, make_tree_searcher
+
+    _train, test, _feats = load_dataset(args)
+    state = _restore(mcfg, tcfg, paths)
+    tree = load_tree(os.path.join(args.output_root, "tree_index"))
+    item_ids = np.load(paths.item_ids_file)
+    dtree = DeviceTree.from_tree(tree, item_ids)
+
+    topk = max(args.topk_eval)
+    search = jax.jit(jax.vmap(
+        make_tree_searcher(mcfg, beam_width=args.tree_beam, topk=topk),
+        in_axes=(None, None, None, 0)))
+    n_users = min(args.num_test_batch, len(test["gt_item_id"]))
+    meters = {t: AverageMeter("recall", ":.2%") for t in args.topk_eval}
+    B = args.search_batch
+    for start in range(0, n_users, B):
+        end = min(start + B, n_users)
+        batch = {k: test[k][start:end] for k in test}
+        user = extract_user_embeddings(state.params, batch)
+        pad = B - (end - start)
+        if pad:
+            user = np.concatenate([user, np.zeros((pad,) + user.shape[1:],
+                                                  np.float32)])
+        items, _scores = search(state.params, state.bn_state, dtree,
+                                jnp.asarray(user))
+        items = np.asarray(items)[:end - start]
+        for u in range(end - start):
+            got = items[u][items[u] >= 0]
+            for t in args.topk_eval:
+                _p, recall, _f = calc_pr(batch["gt_item_id"][u], got[:t])
+                meters[t].update(recall)
+    for t in args.topk_eval:
+        logger.info(f"Tree Recall@{t} {meters[t].avg:.2%} "
+                    f"(beam {args.tree_beam})")
+    return {f"recall@{t}": meters[t].avg for t in args.topk_eval}
+
+
 def job_parity(args, mcfg, tcfg, scfg, paths):
     """The north-star check in one command: graph-search recall vs the
     brute-force ceiling on the same checkpoint (reference oracle pattern,
@@ -402,6 +463,8 @@ JOBS = {
     "serve_bench": job_serve_bench,
     "verify_export": job_verify_export,
     "parity": job_parity,
+    "build_tree": job_build_tree,
+    "test_tree": job_test_tree,
 }
 
 
