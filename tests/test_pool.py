@@ -53,6 +53,22 @@ def test_pool_engines_on_distinct_devices(pool):
     assert len(devs) == 4
 
 
+def test_pool_swap_model_all_engines(pool):
+    import jax as _jax
+    from nann_tpu.models import init_scorer as _init
+    rng = np.random.default_rng(7)
+    user = rng.standard_normal((6, 16)).astype(np.float32)
+    before = [e.search_sync(user)[0] for e in pool.engines[:2]]
+
+    mcfg = pool.engines[0].mcfg
+    params2, state2 = _init(_jax.random.PRNGKey(123), mcfg)
+    sidx = pool.engines[0]._model[2]
+    pool.swap_model(params2, state2, sidx)
+    after = [e.search_sync(user)[0] for e in pool.engines[:2]]
+    for b, a in zip(before, after):
+        assert not np.array_equal(b, a)
+
+
 def test_pool_results_consistent_across_devices(pool):
     rng = np.random.default_rng(2)
     user = rng.standard_normal((6, 16)).astype(np.float32)

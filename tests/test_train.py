@@ -102,6 +102,17 @@ def test_dp_sharded_step_matches_single_device(setup):
     np.testing.assert_allclose(l1, l2, rtol=1e-3, atol=1e-6)
 
 
+def test_batch_iterator_mesh_sharding(setup):
+    """With a mesh, batches come back device_put with dp sharding."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    mcfg, tcfg, train, feats = setup
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8, 1), ("dp", "mp"))
+    it = BatchIterator(train, batch_size=32, epochs=1, mesh=mesh)
+    batch = next(iter(it))
+    assert batch["item_ids"].sharding.spec == P("dp", None)
+    assert batch["gt_item_id"].sharding.spec == P("dp")
+
+
 def test_batch_iterator_epochs_and_shuffling(setup):
     _, _, train, _ = setup
     it = BatchIterator(train, batch_size=64, epochs=2, seed=1)
