@@ -124,10 +124,27 @@ def load_dataset(args) -> Tuple[Dict, Dict, Dict]:
     """Returns (train, test, item_features) dict-of-arrays."""
     if args.synthetic:
         from .data import synthetic_dataset
-        return synthetic_dataset(
+
+        # cache the generated corpus per config so multi-job workflows don't
+        # regenerate it for every job
+        key = (f"synth_{args.num_item}_{args.num_cate}_{args.num_users}_"
+               f"{args.max_seq_length}")
+        cache = os.path.join(args.output_root, f"{key}.npz")
+        if os.path.exists(cache):
+            z = np.load(cache)
+            unpack = lambda pre: {k[len(pre):]: z[k] for k in z.files
+                                  if k.startswith(pre)}
+            return unpack("train_"), unpack("test_"), unpack("feat_")
+        train, test, feats = synthetic_dataset(
             num_item=args.num_item, num_cate=args.num_cate,
             num_users=args.num_users, max_seq_length=args.max_seq_length,
             seed=0)
+        os.makedirs(args.output_root, exist_ok=True)
+        np.savez(cache,
+                 **{f"train_{k}": v for k, v in train.items()},
+                 **{f"test_{k}": v for k, v in test.items()},
+                 **{f"feat_{k}": v for k, v in feats.items()})
+        return train, test, feats
     def load_npz(name):
         return dict(np.load(os.path.join(args.dataset_dir, name)))
     return (load_npz("ub_train.npz"), load_npz("ub_test.npz"),
