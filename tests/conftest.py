@@ -15,8 +15,14 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
-assert "jax" not in sys.modules, (
-    "jax was imported before tests/conftest.py could force the CPU platform")
+if "jax" in sys.modules:
+    # The axon sitecustomize imports jax at interpreter startup; platform
+    # selection happens at first backend use, so overriding the config here
+    # still wins as long as no backend has been initialized yet.
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    assert not jax._src.xla_bridge._backends, (
+        "a JAX backend initialized before tests/conftest.py could force CPU")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
