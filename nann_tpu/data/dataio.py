@@ -45,13 +45,30 @@ class BatchIterator:
                      else -(-self.num_samples // self.batch_size))
         return per_epoch * self.epochs
 
+    @property
+    def batches_per_epoch(self) -> int:
+        return (self.num_samples // self.batch_size if self.drop_remainder
+                else -(-self.num_samples // self.batch_size))
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        for epoch in range(self.epochs):
+        return self.iter_from(0)
+
+    def iter_from(self, start_batch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Iterate starting at global batch `start_batch` — the resume
+        fast-forward. Skipped epochs cost nothing; the within-epoch offset
+        just starts later in that epoch's permutation, so a resumed run sees
+        exactly the batches the interrupted schedule still owed it."""
+        per_epoch = self.batches_per_epoch
+        first_epoch, offset = ((start_batch // per_epoch,
+                                start_batch % per_epoch)
+                               if per_epoch else (self.epochs, 0))
+        for epoch in range(first_epoch, self.epochs):
             rng = np.random.default_rng(self.seed + epoch)
             order = rng.permutation(self.num_samples)
             end = (self.num_samples - self.num_samples % self.batch_size
                    if self.drop_remainder else self.num_samples)
-            for start in range(0, end, self.batch_size):
+            start0 = offset * self.batch_size if epoch == first_epoch else 0
+            for start in range(start0, end, self.batch_size):
                 idx = order[start:start + self.batch_size]
                 batch = {k: v[idx] for k, v in self.data.items()}
                 if self._shardings is not None:

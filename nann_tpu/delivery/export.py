@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import time
 from typing import Tuple
 
 import jax.numpy as jnp
@@ -61,8 +62,13 @@ def _unflatten_into(template, flat, prefix=""):
 
 def export_model(export_dir: str, params: Params, state: State,
                  mcfg: ModelConfig, scfg: SearchConfig,
-                 item_ids: np.ndarray = None, item_embs: np.ndarray = None
-                 ) -> None:
+                 item_ids: np.ndarray = None, item_embs: np.ndarray = None,
+                 index_dir: str = None) -> None:
+    """Write the serving bundle; the VERSION marker is written LAST so a
+    reloader polling mid-export never cold-loads a mixed old/new bundle
+    (reference ModelReloader keys on an explicit version, model.cc:384-437).
+    index_dir: optional HNSW artifact dir copied into the bundle before the
+    marker lands."""
     os.makedirs(export_dir, exist_ok=True)
     np.savez(os.path.join(export_dir, "scorer_params.npz"), **_flatten(params))
     np.savez(os.path.join(export_dir, "bn_state.npz"), **_flatten(state))
@@ -85,7 +91,29 @@ def export_model(export_dir: str, params: Params, state: State,
         # fp16 on disk like the reference's convert_feed_input_float2half
         np.save(os.path.join(export_dir, "item_embs.npy"),
                 item_embs.astype(np.float16))
-    logger.info(f"exported model to {export_dir}")
+    if index_dir is not None and os.path.isdir(index_dir):
+        import shutil
+        dst = os.path.join(export_dir, "index")
+        os.makedirs(dst, exist_ok=True)
+        for f in os.listdir(index_dir):
+            shutil.copy(os.path.join(index_dir, f), dst)
+    # version marker LAST: the bundle is complete iff this file exists and
+    # its content is newer than what the reloader last saw
+    version = f"{time.time_ns()}"
+    tmp = os.path.join(export_dir, ".VERSION.tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(export_dir, "VERSION"))
+    logger.info(f"exported model to {export_dir} (version {version})")
+
+
+def read_version(export_dir: str) -> str:
+    """The bundle's version marker; '' if the bundle is incomplete."""
+    try:
+        with open(os.path.join(export_dir, "VERSION")) as f:
+            return f.read().strip()
+    except OSError:
+        return ""
 
 
 def len_level_topn(scfg: SearchConfig) -> int:

@@ -5,8 +5,9 @@ on random fp16 requests (NANN_impls/nann/delivery/NANN_inference_demo.py).
 This does the same for our bundle: load the export directory cold (params,
 BN state, config, fp16 item embeddings, index artifacts), rebuild the serving
 program, fire random requests, and check the output contract — plus one check
-the reference can't do: the loaded bundle's results must match a searcher
-built from the in-memory training state.
+the reference can't do: with `reference_state` (the live training state),
+the loaded bundle's results must match a searcher built from the in-memory
+weights (the CLI verify_export job passes the restored checkpoint).
 
 Runnable:  python -m nann_tpu.delivery.verify_export --export-dir out/export
 """
@@ -54,8 +55,20 @@ def load_serving_bundle(export_dir: str, scfg: SearchConfig,
 
 
 def verify_export(export_dir: str, scfg: Optional[SearchConfig] = None,
-                  num_requests: int = 10, seed: int = 0) -> dict:
+                  num_requests: int = 10, seed: int = 0,
+                  reference_state: Optional[Tuple] = None,
+                  min_overlap: float = 0.9) -> dict:
     """Run random requests through the cold-loaded bundle; returns a report.
+
+    Contract checks per request: non-empty, unique, score-sorted, finite.
+
+    reference_state: optional (params, bn_state) from the LIVE training
+    state. When given, the same requests are also run through a searcher
+    built from those in-memory weights over the bundle's index, and the
+    retrieved sets must agree (>= min_overlap Jaccard-style overlap; fp16
+    on-disk embeddings make bit-exactness too strict near score ties). This
+    is the loaded-bundle == in-memory-state cross-check the reference's
+    demo cannot do (it has no live state at verification time).
 
     Raises AssertionError on contract violations.
     """
@@ -80,12 +93,13 @@ def verify_export(export_dir: str, scfg: Optional[SearchConfig] = None,
     rng = np.random.default_rng(seed)
     k_final = max(scfg.topk_eval)
 
+    overlaps = []
     for i in range(num_requests):
         # fp16 request payload, like the exported signature's comm_seq
         comm_seq = rng.standard_normal(
             (mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float16)
-        items, scores, num_scoring = search(
-            params, state, sidx, jnp.asarray(comm_seq, jnp.float32), ltn)
+        user = jnp.asarray(comm_seq, jnp.float32)
+        items, scores, num_scoring = search(params, state, sidx, user, ltn)
         items = np.asarray(items)
         got = items[items >= 0]
         assert len(got) > 0, "empty retrieval"
@@ -93,12 +107,26 @@ def verify_export(export_dir: str, scfg: Optional[SearchConfig] = None,
         s = np.asarray(scores)[items >= 0]
         assert np.all(np.diff(s) <= 1e-6), "scores not sorted"
         assert np.isfinite(s).all(), "non-finite scores"
+
+        if reference_state is not None:
+            live_params, live_state = reference_state
+            live_items, _ls, _ln = search(live_params, live_state, sidx,
+                                          user, ltn)
+            live_items = np.asarray(live_items)
+            live = set(live_items[live_items >= 0].tolist())
+            ov = len(live & set(got.tolist())) / max(len(live), 1)
+            overlaps.append(ov)
+            assert ov >= min_overlap, (
+                f"bundle/in-memory retrieval diverged: overlap {ov:.2f} "
+                f"< {min_overlap} on request {i}")
     report = {
         "export_dir": export_dir,
         "num_items": n,
         "requests_verified": num_requests,
         "k_final": int(k_final),
     }
+    if overlaps:
+        report["in_memory_cross_check_overlap"] = float(np.mean(overlaps))
     logger.info(f"export verified: {report}")
     return report
 

@@ -331,15 +331,13 @@ def job_export(args, mcfg, tcfg, scfg, paths):
         os.path.exists(paths.item_ids_file) else None
     item_embs = np.load(paths.item_embs_file) if \
         os.path.exists(paths.item_embs_file) else None
+    # index artifacts are copied inside export_model so the VERSION marker
+    # lands only after the FULL bundle (scorer + index) is on disk
+    has_index = os.path.exists(os.path.join(paths.index_dir,
+                                            "enter_points.npy"))
     export_model(paths.export_dir, state.params, state.bn_state, mcfg, scfg,
-                 item_ids, item_embs)
-    # copy index artifacts into the export bundle
-    import shutil
-    dst = os.path.join(paths.export_dir, "index")
-    if os.path.exists(os.path.join(paths.index_dir, "enter_points.npy")):
-        os.makedirs(dst, exist_ok=True)
-        for f in os.listdir(paths.index_dir):
-            shutil.copy(os.path.join(paths.index_dir, f), dst)
+                 item_ids, item_embs,
+                 index_dir=paths.index_dir if has_index else None)
 
 
 def job_serve_bench(args, mcfg, tcfg, scfg, paths):
@@ -393,7 +391,14 @@ def job_serve(args, mcfg, tcfg, scfg, paths):
 
 def job_verify_export(args, mcfg, tcfg, scfg, paths):
     from .delivery.verify_export import verify_export
-    return verify_export(paths.export_dir, scfg)
+    from .train.loop import latest_checkpoint_step
+
+    # cross-check the bundle against the live checkpoint when one exists
+    ref = None
+    if latest_checkpoint_step(paths.model_save_dir) is not None:
+        state = _restore(mcfg, tcfg, paths)
+        ref = (state.params, state.bn_state)
+    return verify_export(paths.export_dir, scfg, reference_state=ref)
 
 
 def job_build_tree(args, mcfg, tcfg, scfg, paths):

@@ -10,16 +10,20 @@ with dense-padded variants for on-device use.
   ---------------------------------------------------------------
   BitmapInit/Difference/RefDifference  ops.bitmap
   BloomFilterDifference                ops.bitmap.bloom_filter_difference
-  SetUnion/Intersection/Difference     ops.ragged set ops
+  SetUnion/Intersection/Difference     ops.ragged_device (compiled, padded
+                                        -dense); ops.ragged (host tooling)
   GroupGather / BatchGatherOnRT /
-    BatchConcatOnRT / SplitsGather     ops.ragged gathers
-  BlazeTopK / BatchTopKOnRT            ops.topk
+    BatchConcatOnRT / SplitsGather     ops.ragged_device gathers (compiled);
+                                        ops.ragged (host tooling)
+  BlazeTopK / BatchTopKOnRT            ops.topk (BlazeTopK device);
+                                        ops.ragged_device.batch_topk_on_rt
+                                        (per-row runtime-k, device)
   tree ops (TDM RangeIndicator)        ops.tree
   HugeConst                            (unneeded: jax arrays load from npy
                                         without protobuf limits)
   BlazeGeneralMap                      ops.idmap
 """
 
-from . import bitmap, ragged, topk, tree, idmap
+from . import bitmap, ragged, ragged_device, topk, tree, idmap
 
-__all__ = ["bitmap", "ragged", "topk", "tree", "idmap"]
+__all__ = ["bitmap", "ragged", "ragged_device", "topk", "tree", "idmap"]

@@ -103,6 +103,16 @@ def level_topn_default(scfg: SearchConfig, semantics: str = "serving"
     return np.asarray(ks, np.int32)
 
 
+def _pad_trash(ids: jnp.ndarray, valid: jnp.ndarray, n) -> jnp.ndarray:
+    """Scatter-index padding for visited marking: masked positions map to
+    DISTINCT trash slots past the catalogue (n + position), so the
+    unique_indices=True promise on the scatter is actually true. A shared
+    sentinel here (the old scheme) made XLA's uniqueness/sortedness hints
+    lies — defined behavior only by accident of current backends."""
+    pos = jnp.arange(ids.shape[0], dtype=ids.dtype)
+    return jnp.where(valid, ids, n + pos)
+
+
 def _masked_topk(ids: jnp.ndarray, scores: jnp.ndarray, k_static: int,
                  k_runtime: jnp.ndarray, sentinel: int
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -136,8 +146,10 @@ class LocalBackend:
                  ) -> jnp.ndarray:
         return jnp.take(item_ids, jnp.clip(ids, 0, n - 1))
 
-    def vis_init(self, n: int) -> jnp.ndarray:
-        return jnp.full((n + 1,), _UNVISITED, jnp.uint8)
+    def vis_init(self, n: int, trash: int = 1) -> jnp.ndarray:
+        # [0, n) = catalogue slots; [n, n+trash) = distinct trash slots for
+        # masked scatter positions (see _pad_trash)
+        return jnp.full((n + max(trash, 1),), _UNVISITED, jnp.uint8)
 
     def vis_unvisited(self, vis: jnp.ndarray, ids: jnp.ndarray, epoch,
                       n: int) -> jnp.ndarray:
@@ -145,10 +157,10 @@ class LocalBackend:
 
     def vis_mark_sorted(self, vis: jnp.ndarray, ids: jnp.ndarray, epoch,
                         n: int) -> jnp.ndarray:
-        # ids sorted+unique (sentinel-padded to slot n) — the flags let XLA
-        # emit a vectorized scatter instead of a serial loop
-        return vis.at[ids].set(epoch, unique_indices=True,
-                               indices_are_sorted=True)
+        # kept ids sorted+unique, masked positions _pad_trash'd to distinct
+        # slots — unique_indices lets XLA emit a vectorized scatter instead
+        # of a serial loop (a 16x regression without it)
+        return vis.at[ids].set(epoch, unique_indices=True)
 
     def vis_mark(self, vis: jnp.ndarray, ids: jnp.ndarray, epoch,
                  n: int) -> jnp.ndarray:
@@ -263,10 +275,10 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         num_fresh = jnp.sum(keep)
 
         # mark EVERY fresh node visited (reference BitmapRefDifference marks
-        # all ids it returns); nb_sorted is sorted and keep-masked unique, so
-        # the scatter stays vectorized
+        # all ids it returns); kept entries are unique (first-occurrence) and
+        # masked ones get distinct trash slots, so the scatter stays vectorized
         vis = be.vis_mark_sorted(
-            vis, jnp.where(keep, nb_sorted, sentinel), epoch, n)
+            vis, _pad_trash(nb_sorted, keep, n), epoch, n)
 
         # compaction to the scoring cap: kept ids to the front by value-sort.
         # When unique fresh nodes exceed f_cap, selecting ascending ids would
@@ -290,7 +302,9 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         scoring >= the current k-th result."""
         n = be.num_items(index)
         sentinel = n
-        vis = be.vis_init(n)
+        max_deg = max(v.shape[1] for v in index.neighbors.values())
+        max_cand = max([k_start_cap, k_final_cap] + list(scfg.top_k_per_level))
+        vis = be.vis_init(n, trash=max_cand * max_deg)
         num_scoring: List[jnp.ndarray] = []
 
         ep = index.enter_points.astype(jnp.int32)
@@ -304,8 +318,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         for level in range(start - 1, -1, -1):
             epoch = jnp.uint8(level)
             # visited starts as this level's enter points (model.py:312)
-            vis = be.vis_mark(vis, jnp.where(res_scores > NEG_INF, res_ids,
-                                             sentinel), epoch, n)
+            vis = be.vis_mark(vis, _pad_trash(res_ids, res_scores > NEG_INF,
+                                              n), epoch, n)
             cand_ids, cand_scores = res_ids, res_scores
             k_cap = scfg.top_k_per_level[level]
             for _ in range(scfg.num_scoring_per_level[level]):
@@ -340,7 +354,9 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
                user_seq_emb: jnp.ndarray, level_topn: jnp.ndarray):
         n = be.num_items(index)
         sentinel = n
-        vis = be.vis_init(n)
+        max_deg = max(v.shape[1] for v in index.neighbors.values())
+        max_cand = max([k_start_cap, k_final_cap] + list(scfg.top_k_per_level))
+        vis = be.vis_init(n, trash=max_cand * max_deg)
         num_scoring: List[jnp.ndarray] = []
 
         # --- start level: score all enter points (model.py:339-354) ---
@@ -356,8 +372,9 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         cand_ids, cand_scores = res_ids, res_scores
         for level in range(start - 1, 0, -1):
             epoch = jnp.uint8(level)
-            vis = be.vis_mark(vis, jnp.where(cand_scores > NEG_INF, cand_ids,
-                                             sentinel), epoch, n)
+            vis = be.vis_mark(vis, _pad_trash(cand_ids,
+                                              cand_scores > NEG_INF, n),
+                              epoch, n)
             for _ in range(scfg.num_scoring_per_level[level]):
                 fresh, fscores, vis, cnt = expand_filter_score(
                     params, state, index, user_seq_emb, vis, epoch, level,
@@ -375,8 +392,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         # --- ground level: fresh-topk hops, results accumulate
         #     (build_opt_graph.py:128-141) ---
         epoch = jnp.uint8(0)
-        vis = be.vis_mark(vis, jnp.where(cand_scores > NEG_INF, cand_ids,
-                                         sentinel), epoch, n)
+        vis = be.vis_mark(vis, _pad_trash(cand_ids, cand_scores > NEG_INF, n),
+                          epoch, n)
         buf_ids, buf_scores = [res_ids], [res_scores]
         for i in range(hop_caps):
             fresh, fscores, vis, cnt = expand_filter_score(

@@ -64,25 +64,31 @@ class ShardedBackend(LocalBackend):
         # item_ids is sharded here, so global n = local rows * num_shards
         return index.item_ids.shape[0] * self.num_shards
 
-    def vis_init(self, n: int):
+    def vis_init(self, n: int, trash: int = 1):
         n_local = n // self.num_shards
-        return jnp.full((n_local + 1,), _UNVISITED, jnp.uint8)
+        return jnp.full((n_local + max(trash, 1),), _UNVISITED, jnp.uint8)
 
-    def _localize(self, vis, ids):
-        rows_local = vis.shape[0] - 1
+    def _localize(self, vis, ids, n):
+        # ids this shard doesn't own (incl. the caller's global trash slots)
+        # map to DISTINCT local trash slots rows_local + position, keeping
+        # the scatter's unique_indices promise true (same scheme as
+        # beam._pad_trash)
+        rows_local = n // self.num_shards
         lo = self._my_range(rows_local)
         local = ids.astype(jnp.int32) - lo
         mine = (local >= 0) & (local < rows_local)
-        return jnp.where(mine, local, rows_local), mine
+        pos = jnp.arange(ids.shape[0], dtype=jnp.int32)
+        return jnp.where(mine, local, rows_local + pos), mine
 
     def vis_unvisited(self, vis, ids, epoch, n):
-        local, mine = self._localize(vis, ids)
-        visited_here = mine & (jnp.take(vis, local) == epoch)
+        local, mine = self._localize(vis, ids, n)
+        visited_here = mine & (jnp.take(vis, jnp.clip(
+            local, 0, vis.shape[0] - 1)) == epoch)
         visited = jax.lax.psum(visited_here.astype(jnp.int32), self.axis)
         return visited == 0
 
     def vis_mark_sorted(self, vis, ids, epoch, n):
-        local, _mine = self._localize(vis, ids)   # not-mine -> slot rows_local
+        local, _mine = self._localize(vis, ids, n)
         return vis.at[local].set(epoch, unique_indices=True)
 
     vis_mark = vis_mark_sorted

@@ -109,10 +109,16 @@ class Engine:
                 self._fns[b] = jitted
         self._default_ltn = level_topn_default(scfg)
 
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # bounded queue IS the admission control: put_nowait either atomically
+        # claims a slot or raises queue.Full -> RequestRejected. (A qsize()
+        # check-then-put races across producer threads and can overshoot.)
+        self._queue: "queue.Queue[_Request]" = queue.Queue(
+            maxsize=self.config.max_queue)
         self._inflight: "queue.Queue[Tuple]" = queue.Queue(maxsize=8)
         self._holdback: list = []          # dispatcher-thread only
         self._current_batch: list = []     # dispatcher-thread only
+        self._active_batches = 0           # dispatched, not yet completed
+        self._active_lock = threading.Lock()
         from collections import deque
         self._recorded = deque(maxlen=max(self.config.record_requests, 1))
         self._stop = threading.Event()
@@ -181,10 +187,6 @@ class Engine:
         it expires, it is rejected (the reference's wait_ms DeadlineExceeded
         path, blaze_xla_kernel.cc:225-249)."""
         fut: Future = Future()
-        if self._queue.qsize() >= self.config.max_queue:
-            self.metrics.rejected.mark()
-            fut.set_exception(RequestRejected("queue full"))
-            return fut
         ltn = self._default_ltn if level_topn is None else \
             np.asarray(level_topn, np.int32)
         if ltn.shape != self._default_ltn.shape:
@@ -192,13 +194,26 @@ class Engine:
                 f"level_topn must have shape {self._default_ltn.shape}, "
                 f"got {ltn.shape}"))
             return fut
-        self._queue.put(_Request(np.asarray(user_seq_emb, np.float32),
-                                 ltn, fut, time.perf_counter(), deadline_ms))
+        try:
+            self._queue.put_nowait(
+                _Request(np.asarray(user_seq_emb, np.float32), ltn, fut,
+                         time.perf_counter(), deadline_ms))
+        except queue.Full:
+            self.metrics.rejected.mark()
+            fut.set_exception(RequestRejected("queue full"))
         return fut
 
     def search_sync(self, user_seq_emb: np.ndarray,
                     level_topn: Optional[np.ndarray] = None, timeout: float = 30):
         return self.submit(user_seq_emb, level_topn).result(timeout=timeout)
+
+    def depth(self) -> int:
+        """Requests queued + held back + dispatched-but-uncompleted — the
+        load signal for pool routing and cold-switch draining (the role of
+        the reference predictor pool's Borrow timeout, model.cc:27-42)."""
+        with self._active_lock:
+            active = self._active_batches
+        return self._queue.qsize() + len(self._holdback) + active
 
     # ------------------------------------------------------------- internals
 
@@ -273,6 +288,8 @@ class Engine:
             params, state, index = self._model
         out = self._fns[bucket](params, state, index,
                                 jnp.asarray(users), jnp.asarray(ltn0))
+        with self._active_lock:
+            self._active_batches += len(batch)
         self._inflight.put((batch, out))  # async: device still computing
         self.metrics.batch_size.update(len(batch))
         self._current_batch = []
@@ -299,6 +316,8 @@ class Engine:
                     for r in batch:
                         if not r.future.done():
                             r.future.set_exception(e)
+                    with self._active_lock:
+                        self._active_batches -= len(batch)
                 continue
             for batch, out in pending:
                 try:
@@ -321,3 +340,6 @@ class Engine:
                     for r in batch:
                         if not r.future.done():
                             r.future.set_exception(e)
+                finally:
+                    with self._active_lock:
+                        self._active_batches -= len(batch)

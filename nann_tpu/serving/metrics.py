@@ -49,9 +49,10 @@ class Histogram:
 
     def snapshot(self) -> Dict[str, float]:
         with self._lock:
+            count = len(self._vals)
             vals = np.asarray(self._vals) if self._vals else np.zeros(1)
         return {
-            "count": len(self._vals),
+            "count": count,
             "mean": float(vals.mean()),
             "p50": float(np.percentile(vals, 50)),
             "p95": float(np.percentile(vals, 95)),

@@ -49,9 +49,24 @@ class EnginePool:
 
     def submit(self, user_seq_emb: np.ndarray, level_topn=None,
                deadline_ms: Optional[float] = None) -> Future:
+        """Route to the least-loaded engine (queue-depth-aware, the role of
+        the reference pool's Borrow-with-timeout which naturally skips busy
+        predictors, model.cc:27-42); round-robin only breaks ties. A full
+        engine falls through to the next-least-loaded instead of rejecting
+        while siblings are idle."""
         with self._lock:
-            i = next(self._rr)
-        return self.engines[i].submit(user_seq_emb, level_topn, deadline_ms)
+            start = next(self._rr)
+        order = sorted(range(len(self.engines)),
+                       key=lambda i: (self.engines[i].depth(),
+                                      (i - start) % len(self.engines)))
+        from .engine import RequestRejected
+        fut = None
+        for i in order:
+            fut = self.engines[i].submit(user_seq_emb, level_topn, deadline_ms)
+            exc = fut.exception() if fut.done() else None
+            if not isinstance(exc, RequestRejected):
+                return fut
+        return fut  # every engine full: surface the rejection
 
     def search_sync(self, user_seq_emb: np.ndarray, level_topn=None,
                     timeout: float = 30):

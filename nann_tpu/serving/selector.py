@@ -23,8 +23,17 @@ from .engine import Engine
 logger = get_logger("nann_tpu.selector")
 
 
-def _version_marker(export_dir: str) -> float:
-    """Latest mtime across the bundle's files — the reload trigger."""
+def _version_marker(export_dir: str) -> str:
+    """The bundle's version marker — the reload trigger.
+
+    export_model writes VERSION last (atomically), so a non-empty marker
+    means the bundle on disk is complete; polling max-mtime (the old scheme)
+    could catch a half-written export and cold-load a mixed bundle. Falls
+    back to max-mtime for bundles written by other tools."""
+    from ..delivery.export import read_version
+    v = read_version(export_dir)
+    if v:
+        return v
     latest = 0.0
     for root, _dirs, files in os.walk(export_dir):
         for f in files:
@@ -32,7 +41,7 @@ def _version_marker(export_dir: str) -> float:
                 latest = max(latest, os.path.getmtime(os.path.join(root, f)))
             except OSError:
                 pass
-    return latest
+    return f"mtime:{latest}" if latest else ""
 
 
 class ModelReloader:
@@ -60,10 +69,15 @@ class ModelReloader:
     def check_once(self) -> bool:
         """Poll once; reload if the bundle changed. Returns True on reload."""
         marker = _version_marker(self.export_dir)
-        if marker <= self._marker:
+        if not marker or marker == self._marker:
             return False
         logger.info(f"bundle change detected in {self.export_dir}; reloading")
         params, state, sidx = self._loader()       # off the serving path
+        # if another export landed while we were loading, the files we read
+        # may span two bundles — skip the swap and retry next poll
+        if _version_marker(self.export_dir) != marker:
+            logger.info("bundle changed again during load; skipping swap")
+            return False
         self.engine.swap_model(params, state, sidx)
         self._marker = marker
         self.reload_count += 1
@@ -123,9 +137,10 @@ class ModelSelector:
                         cold_switching: bool = False) -> None:
         """Cycle the active model on a timer (ModelSelector::Start).
 
-        cold_switching (bench_conf.proto:28): drain the outgoing engine's
-        queue before pointing traffic at the next model, instead of switching
-        hot with both briefly in flight."""
+        cold_switching (bench_conf.proto:28): drain the outgoing engine —
+        queued AND dispatched-but-uncompleted work (Engine.depth()) — before
+        pointing traffic at the next model, instead of switching hot with
+        both briefly in flight."""
         import time as _time
 
         def loop():
@@ -135,7 +150,7 @@ class ModelSelector:
                 i = (i + 1) % len(self._order)
                 if cold_switching:
                     deadline = _time.monotonic() + 5.0
-                    while (outgoing._queue.qsize() > 0
+                    while (outgoing.depth() > 0
                            and _time.monotonic() < deadline):
                         _time.sleep(0.01)
                 self.select(self._order[i])

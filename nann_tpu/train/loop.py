@@ -79,7 +79,13 @@ def train_loop(mcfg: ModelConfig, tcfg: TrainConfig,
 
     it = BatchIterator(train_data, tcfg.batch_size, epochs=tcfg.train_epochs,
                        drop_remainder=True, seed=tcfg.seed, mesh=mesh)
+    # num_steps is the TOTAL global-step budget; a resumed run completes the
+    # REMAINING schedule from where it stopped (data position fast-forwarded,
+    # not replayed) instead of training a full extra budget on repeated data
     total = len(it) if num_steps is None else num_steps
+    if start_step >= total:
+        logger.info(f"resume step {start_step} >= budget {total}; nothing to do")
+        return state, {}
 
     meters = {k: AverageMeter(k, ":.4f", moving_average=True)
               for k in ("loss", "loss_xe", "loss_adv", "acc", "acc_origin")}
@@ -89,18 +95,19 @@ def train_loop(mcfg: ModelConfig, tcfg: TrainConfig,
     tic = time.time()
     metrics_host: Dict[str, float] = {}
     step_idx = start_step
-    for step_idx, batch in enumerate(it, start=start_step):
-        if step_idx >= total + start_step:
+    for step_idx, batch in enumerate(it.iter_from(start_step % len(it)),
+                                     start=start_step):
+        if step_idx >= total:
             break
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch, data_rng)
 
-        if step_idx % tcfg.print_freq == 0 or step_idx + 1 == total + start_step:
+        if step_idx % tcfg.print_freq == 0 or step_idx + 1 == total:
             metrics_host = {k: float(v) for k, v in metrics.items()}
             for k, m in meters.items():
                 m.update(metrics_host[k])
             bt.update(time.time() - tic)
-            logger.info(f"[{step_idx}/{total + start_step}] " +
+            logger.info(f"[{step_idx}/{total}] " +
                         ", ".join(str(m) for m in meters.values()) +
                         f", {bt}")
             if metrics_path:
@@ -112,7 +119,7 @@ def train_loop(mcfg: ModelConfig, tcfg: TrainConfig,
         tic = time.time()
 
         if ckpt_dir and (step_idx % tcfg.save_freq == 0
-                         or step_idx + 1 == total + start_step):
+                         or step_idx + 1 == total):
             path = os.path.join(ckpt_dir, f"step_{step_idx + 1}")
             save_train_state(path, state)
             _prune_checkpoints(ckpt_dir, keep=tcfg.max_to_keep)

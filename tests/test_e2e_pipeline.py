@@ -57,11 +57,20 @@ def test_parity_job(pipeline_out):
 
 
 def test_resume_then_more_training(pipeline_out):
-    """Auto-resume: a second short train run must pick up the checkpoint."""
+    """Auto-resume semantics: max_steps is a TOTAL budget. A resumed run
+    completes the remaining schedule (not a full extra budget), and a budget
+    the checkpoint already met is a no-op."""
     out, argv = pipeline_out
     args = cli.parse_opt(argv)
-    args.max_steps = 5
     mcfg, tcfg, scfg = cli.build_configs(args)
     paths = cli.Paths(out)
+
+    # budget already met by the pipeline's 80-step run -> nothing to do
+    args.max_steps = 5
     state = cli.job_train(args, mcfg, tcfg, scfg, paths)
-    assert int(state.step) > 80  # continued past the first run's steps
+    assert int(state.step) == 80
+
+    # a larger budget continues from the checkpoint to exactly the budget
+    args.max_steps = 85
+    state = cli.job_train(args, mcfg, tcfg, scfg, paths)
+    assert int(state.step) == 85

@@ -122,3 +122,16 @@ def test_batch_iterator_epochs_and_shuffling(setup):
     # different epochs see different orderings
     assert not np.array_equal(batches[0]["gt_item_id"],
                               batches[len(batches) // 2]["gt_item_id"])
+
+
+def test_batch_iterator_resume_fast_forward(setup):
+    """iter_from(k) yields exactly the batches a fresh iteration yields from
+    global batch k on — the resume contract (no replayed data)."""
+    _, _, train, _ = setup
+    it = BatchIterator(train, batch_size=64, epochs=3, seed=1)
+    full = list(it)
+    for k in (0, 1, len(full) // 2, len(full) - 1):
+        resumed = list(it.iter_from(k))
+        assert len(resumed) == len(full) - k
+        for a, b in zip(resumed, full[k:]):
+            assert np.array_equal(a["gt_item_id"], b["gt_item_id"])
