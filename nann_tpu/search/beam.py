@@ -82,7 +82,7 @@ class SearchIndex:
         )
 
 
-def level_topn_default(scfg: SearchConfig, semantics: str = "serving"
+def level_topn_default(scfg: SearchConfig, semantics: str = None
                        ) -> np.ndarray:
     """The default runtime search budget.
 
@@ -91,6 +91,7 @@ def level_topn_default(scfg: SearchConfig, semantics: str = "serving"
     eval layout (reference test-job knobs, one k per level):
         [k_start, k per level start-1..0, k_final]
     """
+    semantics = semantics or scfg.semantics
     ks = [scfg.top_k_per_level[scfg.hnsw_start_level]]
     if semantics == "serving":
         for level in range(scfg.hnsw_start_level - 1, 0, -1):
@@ -173,7 +174,7 @@ class LocalBackend:
 def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
                   backend: LocalBackend = None,
                   scorer_impl: str = "folded",
-                  semantics: str = "serving",
+                  semantics: str = None,
                   use_pallas_scorer: bool = False, pallas_tile: int = 1024,
                   pallas_interpret: bool = False,
                   _filter: bool = True, _score: bool = True):
@@ -189,6 +190,7 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
     Wrap in jax.vmap(..., in_axes=(None, None, None, 0, None)) for batches.
     """
     scfg.validate()
+    semantics = semantics or scfg.semantics
     be = backend or LocalBackend()
     start = scfg.hnsw_start_level
     k_start_cap = scfg.top_k_per_level[start]

@@ -126,7 +126,7 @@ def shard_index(mesh: Mesh, index: SearchIndex, axis: str = "mp"
 def make_distributed_searcher(mcfg: ModelConfig, scfg: SearchConfig,
                               mesh: Mesh, axis: str = "mp",
                               batch: Optional[int] = None,
-                              semantics: str = "serving"):
+                              semantics: str = None):
     """Build the sharded search program.
 
     Returns search(params, state, sharded_index, user_seq_emb, level_topn)

@@ -33,8 +33,13 @@ def test_masked_topk_runtime_k():
 
 def test_level_topn_default_shape():
     scfg = SearchConfig()
-    ltn = level_topn_default(scfg)
-    np.testing.assert_array_equal(ltn, [100, 200, 400, 400, 400, 200])
+    # default (eval) layout: [k_start, k per level start-1..0, k_final]
+    np.testing.assert_array_equal(level_topn_default(scfg),
+                                  [100, 200, 400, 200])
+    # exported-graph (serving) layout keeps the reference runmeta shape
+    # (gen_runmeta.py:24)
+    np.testing.assert_array_equal(level_topn_default(scfg, "serving"),
+                                  [100, 200, 400, 400, 400, 200])
 
 
 # ------------------------------------------------------- integration fixture

@@ -52,13 +52,15 @@ def _post(port, path, payload):
 def test_predict_contract(server):
     rng = np.random.default_rng(1)
     comm_seq = rng.standard_normal((1, 6 * 16)).astype(np.float32)
+    # eval-semantics budget layout: [k_start, k_level1, k_level0, k_final];
+    # k_final <= the ground-level k (the eval result pool, model.py:339-362)
     status, resp = _post(server.port, "/v1/models/nann:predict",
                          {"inputs": {"comm_seq": comm_seq.tolist(),
-                                     "level_topn": [40, 20, 10, 10, 10, 15]}})
+                                     "level_topn": [40, 20, 10, 8]}})
     assert status == 200, resp
     top_k = resp["outputs"]["top_k"][0]
-    assert len(top_k) == 15
-    assert len(set(top_k)) == 15
+    assert len(top_k) == 8
+    assert len(set(top_k)) == 8  # unique items
     assert all(1 <= i <= 500 for i in top_k)
 
 

@@ -71,7 +71,7 @@ def test_concurrent_requests_batched(engine):
 
 def test_custom_level_topn(engine):
     rng = np.random.default_rng(5)
-    ltn = np.asarray([50, 25, 10, 10, 10, 5], np.int32)
+    ltn = np.asarray([50, 25, 10, 5], np.int32)  # eval-semantics layout
     items, _ = engine.search_sync(
         rng.standard_normal((8, 16)).astype(np.float32), ltn)
     assert len(items) == 5
