@@ -90,8 +90,18 @@ def load_csv(path: str) -> Tuple[Dict[str, np.ndarray], np.ndarray]:
 def convert_user_behavior(input_csv: str, output_dir: str,
                           max_length: int = 50, train_min_length: int = 10,
                           test_min_length: int = 7, num_test_user: int = 10000,
-                          num_validate_user: int = 10000, seed: int = 0) -> Dict:
-    """Full conversion to the training/eval artifact contract."""
+                          num_validate_user: int = 10000, seed: int = 0,
+                          packed: bool = False) -> Dict:
+    """Full conversion to the training/eval artifact contract.
+
+    packed=True emits the at-scale format: instead of materialising every
+    train prefix (the reference writes ~90M x 50-int TFRecord rows,
+    convert_UB_to_tfrecord.py:121-136 — hours of Python and ~18 GB), the
+    train split is stored as the time-sorted behaviour stream plus per-sample
+    (prefix_lo, gt_ptr) int32 index pairs; PackedUB materialises padded
+    prefix batches lazily at feed time with pure vectorised gathers. The
+    emitted sample set is identical. Conversion becomes O(rows) numpy with
+    no per-sample Python loop."""
     os.makedirs(output_dir, exist_ok=True)
     logger.info(f"parsing {input_csv} (native)")
     cols, item_cate0 = load_csv(input_csv)
@@ -152,11 +162,42 @@ def convert_user_behavior(input_csv: str, output_dir: str,
                 np.zeros(0, np.float32)}
 
     logger.info("emitting splits")
-    splits = {
-        "train": sample_rows(train_users, False),
-        "test": sample_rows(test_users, True),
-        "validate": sample_rows(validate_users, True),
-    }
+    if packed:
+        # vectorised train-sample enumeration: for each train user with
+        # len-1 > train_min_length, samples are gt positions
+        # [train_min_length, len-1) within the user's stream
+        tl = lengths[train_users]
+        counts_per_user = np.maximum(tl - 1 - train_min_length, 0)
+        keep = counts_per_user > 0
+        tu, cnt = train_users[keep], counts_per_user[keep]
+        S = int(cnt.sum())
+        # sample s belongs to user_of[s]; its gt offset within the user is
+        # train_min_length + (s - first_sample_of_user)
+        first = np.zeros(len(cnt) + 1, np.int64)
+        np.cumsum(cnt, out=first[1:])
+        user_of = np.repeat(np.arange(len(cnt)), cnt)
+        within = np.arange(S, dtype=np.int64) - first[user_of]
+        gt_ptr = (user_starts[tu][user_of] + train_min_length +
+                  within).astype(np.int64)
+        lo = np.maximum(gt_ptr - max_length,
+                        user_starts[tu][user_of]).astype(np.int64)
+        num_train = S
+        np.savez(os.path.join(output_dir, "ub_train_packed.npz"),
+                 behav_items=items_sorted.astype(np.int32),
+                 sample_gt_ptr=gt_ptr,
+                 sample_lo=lo,
+                 max_length=np.int64(max_length))
+        splits = {
+            "test": sample_rows(test_users, True),
+            "validate": sample_rows(validate_users, True),
+        }
+    else:
+        splits = {
+            "train": sample_rows(train_users, False),
+            "test": sample_rows(test_users, True),
+            "validate": sample_rows(validate_users, True),
+        }
+        num_train = len(splits["train"]["gt_item_id"])
     for name, data in splits.items():
         perm = rng.permutation(len(data["gt_item_id"])) if name == "train" else \
             np.arange(len(data["gt_item_id"]))
@@ -171,7 +212,8 @@ def convert_user_behavior(input_csv: str, output_dir: str,
     meta = {
         "num_item": int(num_item),
         "num_cate": int(num_cate),
-        "num_train_samples": int(len(splits["train"]["gt_item_id"])),
+        "packed": bool(packed),
+        "num_train_samples": int(num_train),
         "num_train_user": int(len(train_users)),
         "num_test_user": int(len(test_users)),
         "num_validate_user": int(len(validate_users)),
@@ -183,3 +225,77 @@ def convert_user_behavior(input_csv: str, output_dir: str,
         json.dump(meta, f)
     logger.info(f"wrote {meta}")
     return meta
+
+
+class _LazyCol:
+    """One column of a PackedUB dataset: supports len() and fancy indexing
+    (materialising only the requested samples), which is all BatchIterator
+    needs."""
+
+    def __init__(self, ds: "PackedUB", key: str):
+        self._ds = ds
+        self._key = key
+        self.ndim = 2 if key in ("item_ids", "cate_ids") else 1
+
+    def __len__(self):
+        return self._ds.num_samples
+
+    def __getitem__(self, idx):
+        return self._ds.materialize(np.asarray(idx))[self._key]
+
+
+class PackedUB:
+    """Lazy train split over the packed format: behaviour stream + per-sample
+    (lo, gt) pointers. Presents the same dict-of-arrays interface as a
+    materialised split (keys/values/items + per-column fancy indexing), so
+    BatchIterator and the train loop run unchanged; each batch's padded
+    prefix rows are built on demand with three vectorised gathers."""
+
+    KEYS = ("item_ids", "cate_ids", "gt_item_id", "gt_cate_id", "weight_tag")
+
+    def __init__(self, dataset_dir: str):
+        z = np.load(os.path.join(dataset_dir, "ub_train_packed.npz"))
+        items = np.load(os.path.join(dataset_dir, "ub_items.npz"))
+        self.behav = z["behav_items"]
+        self.gt_ptr = z["sample_gt_ptr"]
+        self.lo = z["sample_lo"]
+        self.max_length = int(z["max_length"])
+        self.item_cate = items["cate_id"].astype(np.int32)      # 1-based
+        self.weight_tag = items["weight_tag"].astype(np.float32)
+        self.num_samples = len(self.gt_ptr)
+        self._cols = {k: _LazyCol(self, k) for k in self.KEYS}
+
+    # dict-of-arrays interface ------------------------------------------
+    def keys(self):
+        return self._cols.keys()
+
+    def values(self):
+        return self._cols.values()
+
+    def items(self):
+        return self._cols.items()
+
+    def __getitem__(self, key):
+        return self._cols[key]
+
+    def __contains__(self, key):
+        return key in self._cols
+
+    def materialize(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        """Build the padded sample rows for `idx` (the per-batch hot path)."""
+        p = self.gt_ptr[idx]
+        lo = self.lo[idx]
+        L = self.max_length
+        pos = lo[:, None] + np.arange(L, dtype=np.int64)[None, :]
+        valid = pos < p[:, None]
+        seq = self.behav[np.minimum(pos, len(self.behav) - 1)]
+        item_rows = np.where(valid, seq + 1, 0).astype(np.int32)
+        cate_rows = np.where(valid, self.item_cate[seq], 0).astype(np.int32)
+        gt0 = self.behav[p]
+        return {
+            "item_ids": item_rows,
+            "cate_ids": cate_rows,
+            "gt_item_id": (gt0 + 1).astype(np.int32),
+            "gt_cate_id": self.item_cate[gt0].astype(np.int32),
+            "weight_tag": self.weight_tag[gt0],
+        }

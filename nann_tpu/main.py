@@ -150,8 +150,13 @@ def load_dataset(args) -> Tuple[Dict, Dict, Dict]:
         return train, test, feats
     def load_npz(name):
         return dict(np.load(os.path.join(args.dataset_dir, name)))
-    return (load_npz("ub_train.npz"), load_npz("ub_test.npz"),
-            load_npz("ub_items.npz"))
+    if os.path.exists(os.path.join(args.dataset_dir, "ub_train_packed.npz")):
+        # at-scale packed train split: lazy prefix materialisation
+        from .data.user_behavior import PackedUB
+        train = PackedUB(args.dataset_dir)
+    else:
+        train = load_npz("ub_train.npz")
+    return train, load_npz("ub_test.npz"), load_npz("ub_items.npz")
 
 
 class Paths:

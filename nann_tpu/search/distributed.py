@@ -126,18 +126,30 @@ def shard_index(mesh: Mesh, index: SearchIndex, axis: str = "mp"
 def make_distributed_searcher(mcfg: ModelConfig, scfg: SearchConfig,
                               mesh: Mesh, axis: str = "mp",
                               batch: Optional[int] = None,
-                              semantics: str = None):
+                              semantics: str = None,
+                              batch_axis: Optional[str] = None):
     """Build the sharded search program.
 
     Returns search(params, state, sharded_index, user_seq_emb, level_topn)
     — same contract as make_searcher. With `batch`, user_seq_emb is
     [batch, L, d] and outputs carry a leading batch axis.
+
+    batch_axis: optionally shard the QUERY batch over this mesh axis (e.g.
+    "dp" across hosts) while the index stays row-sharded over `axis` (e.g.
+    "mp" over ICI within a host) — the serving scale-out layout: each dp
+    row serves batch/dp queries against its own copy of the mp-sharded
+    index, so throughput scales with dp and index memory with mp. Requires
+    `batch` divisible by the axis size.
     """
     num_shards = mesh.shape[axis]
     be = ShardedBackend(axis, num_shards)
     core = make_searcher(mcfg, scfg, backend=be, semantics=semantics)
     if batch is not None:
         core = jax.vmap(core, in_axes=(None, None, None, 0, None))
+    if batch_axis is not None:
+        assert batch is not None and batch % mesh.shape[batch_axis] == 0, \
+            (batch, batch_axis, dict(mesh.shape))
+    user_spec = P() if batch_axis is None else P(batch_axis)
 
     def search(params, state, index: SearchIndex, user_seq_emb, level_topn):
         specs = SearchIndex(
@@ -148,8 +160,8 @@ def make_distributed_searcher(mcfg: ModelConfig, scfg: SearchConfig,
         )
         inner = jax.shard_map(
             core, mesh=mesh,
-            in_specs=(P(), P(), specs, P(), P()),
-            out_specs=(P(), P(), P()),
+            in_specs=(P(), P(), specs, user_spec, P()),
+            out_specs=(user_spec, user_spec, user_spec),
             check_vma=False,
         )
         return inner(params, state, index, user_seq_emb, level_topn)

@@ -91,3 +91,56 @@ def test_convert_end_to_end(tmp_path):
     nz = np.nonzero(row)[0]
     if len(nz) < len(row):
         assert np.all(row[len(nz):] == 0)
+
+
+def test_packed_conversion_equals_materialized(tmp_path):
+    """packed=True must emit the SAME train sample set as the materialised
+    converter, with PackedUB building identical padded rows lazily."""
+    rng = np.random.default_rng(1)
+    rows = []
+    item_cate = {i: i % 7 + 1 for i in range(60)}
+    for u in range(40):
+        n = rng.integers(12, 25)
+        ts = np.sort(rng.integers(0, 10_000, n))
+        for t in ts:
+            it = int(rng.integers(0, 60))
+            rows.append((u, it, item_cate[it], "pv", int(t)))
+    csv = tmp_path / "ub.csv"
+    _write_csv(csv, rows)
+
+    kw = dict(max_length=10, train_min_length=5, test_min_length=5,
+              num_test_user=5, num_validate_user=5, seed=0)
+    out_m = tmp_path / "mat"
+    convert_user_behavior(str(csv), str(out_m), **kw)
+    out_p = tmp_path / "packed"
+    meta_p = convert_user_behavior(str(csv), str(out_p), packed=True, **kw)
+
+    from nann_tpu.data.user_behavior import PackedUB
+    mat = np.load(out_m / "ub_train.npz")
+    packed = PackedUB(str(out_p))
+    assert meta_p["packed"] is True
+    assert packed.num_samples == len(mat["gt_item_id"])
+
+    # materialise ALL packed samples and compare as unordered sets of rows
+    # (the materialised split is disk-shuffled)
+    all_idx = np.arange(packed.num_samples)
+    got = packed.materialize(all_idx)
+
+    def canon(d):
+        rows = np.concatenate(
+            [d["item_ids"], d["cate_ids"], d["gt_item_id"][:, None],
+             d["gt_cate_id"][:, None]], axis=1)
+        return rows[np.lexsort(rows.T[::-1])]
+
+    np.testing.assert_array_equal(
+        canon(got), canon({k: mat[k] for k in mat.files}))
+    wt = np.load(out_p / "ub_items.npz")["weight_tag"]
+    np.testing.assert_allclose(got["weight_tag"],
+                               wt[got["gt_item_id"] - 1], rtol=1e-6)
+
+    # BatchIterator integration: lazy columns batch and shuffle unchanged
+    from nann_tpu.data import BatchIterator
+    it = BatchIterator(packed, batch_size=16, epochs=1, seed=0)
+    b = next(iter(it))
+    assert b["item_ids"].shape == (16, 10)
+    assert b["gt_item_id"].min() >= 1
