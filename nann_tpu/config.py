@@ -89,6 +89,23 @@ class SearchConfig:
     # This single knob replaces the reference's 75-bucket warmup ladder:
     # the fused program has exactly one frontier shape per hop.
     frontier_cap: int = 4096
+    # top-k implementation inside the fused search:
+    #   "exact"  = lax.top_k — bit-exact reference semantics, but XLA lowers
+    #              it to a FULL SORT on TPU;
+    #   "approx" = lax.approx_max_k — the TPU-native partial-reduce
+    #              (recall_target 0.95 per level; the merge/final top-k
+    #              stays exact), measured-equal end recall at lower cost.
+    topk_impl: str = "exact"
+    # per-hop structure:
+    #   "filtered" = reference semantics: sort-based dedup + visited filter
+    #                + compaction to frontier_cap, score the compacted set;
+    #   "wide"     = score the ENTIRE neighbor expansion (masked), select
+    #                candidates by top-k over scores, mark only selected
+    #                nodes visited — no per-hop sorts at all. Scored-but-
+    #                unselected nodes may be re-scored later (physical rows
+    #                are cheap on the MXU; the visited set still prevents
+    #                candidate cycling).
+    hop_mode: str = "filtered"
 
     def validate(self) -> None:
         assert len(self.num_scoring_per_level) == self.hnsw_start_level + 1

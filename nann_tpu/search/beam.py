@@ -289,13 +289,72 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         # truncation; ids are recovered by the inverse XOR
         salt = (0x1F123BB5 * (mix + 1)) & 0x3FFFFFFF if n > f_cap else 0
         key = jnp.where(keep, nb_sorted ^ salt, jnp.int32(2**31 - 1))
-        fresh_key = jnp.sort(key)[:f_cap]
+        if scfg.topk_impl == "approx" and key.shape[0] > f_cap:
+            # TPU-native partial reduce instead of a second full sort; f32
+            # key rounding only perturbs which fresh nodes the (already
+            # pseudo-random) truncation picks
+            _kv, ki = jax.lax.approx_min_k(key.astype(jnp.float32), f_cap)
+            fresh_key = jnp.take(key, ki)
+        else:
+            fresh_key = jnp.sort(key)[:f_cap]
         fresh_valid = fresh_key != jnp.int32(2**31 - 1)
         fresh = jnp.where(fresh_valid, fresh_key ^ salt, sentinel)
 
         scores = score_items(params, state, user_seq_emb, fresh, fresh_valid,
                              n, index.item_embs)
         return fresh, scores, vis, jnp.minimum(num_fresh, f_cap)
+
+    def expand_wide_score(params, state, index, user_seq_emb, vis, epoch,
+                          level, cand_ids, cand_scores, f_cap, n, mix=0):
+        """Wide hop (hop_mode="wide"): score the ENTIRE neighbor expansion
+        with cross-hop-visited rows masked, then select the top sel_cap by
+        score and dedup them — NO per-hop sorts over the expansion. The MXU
+        scores dup/visited rows for free relative to the sort+compact cost
+        this removes; the visited set (selected nodes only) still prevents
+        candidate cycling. Returns the same (ids, scores, vis, count)
+        contract as expand_filter_score, so the level loops are shared."""
+        sentinel = n
+        valid_cand = cand_scores > NEG_INF
+        nb = be.take_rows(index.neighbors[level], cand_ids, n)
+        nb = jnp.where(valid_cand[:, None], nb, sentinel).reshape(-1)
+        in_range = nb < n
+        fresh_mask = in_range & be.vis_unvisited(vis, nb, epoch, n)
+        scores = score_items(params, state, user_seq_emb,
+                             jnp.where(in_range, nb, sentinel), fresh_mask,
+                             n, index.item_embs)
+
+        # select the top sel_cap scoring fresh rows (2x margin over the
+        # level cap absorbs within-hop duplicates crowding the window)
+        sel_cap = min(2 * f_cap, nb.shape[0])
+        if scfg.topk_impl == "approx" and nb.shape[0] > sel_cap:
+            sel_v, sel_i = jax.lax.approx_max_k(scores, sel_cap)
+        else:
+            sel_v, sel_i = jax.lax.top_k(scores, sel_cap)
+        sel_ids = jnp.take(nb, jnp.clip(sel_i, 0, nb.shape[0] - 1))
+        sel_ids = jnp.where(sel_v > NEG_INF, sel_ids, sentinel)
+
+        # dedup the small selection: duplicates of an id carry identical
+        # scores, so keeping the first occurrence in id-sorted order is
+        # exact; scatter the keep-mask back through the tiny permutation
+        pos = jnp.arange(sel_cap, dtype=jnp.int32)
+        sorted_ids, perm = jax.lax.sort_key_val(sel_ids, pos)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]])
+        first = first & (sorted_ids < n)
+        keep = jnp.zeros((sel_cap,), bool).at[perm].set(
+            first, unique_indices=True)
+        sel_ids = jnp.where(keep, sel_ids, sentinel)
+        sel_v = jnp.where(keep, sel_v, NEG_INF)
+
+        # mark the selected set visited (the wide-mode analogue of
+        # BitmapRefDifference's mark-all-returned)
+        vis = be.vis_mark(vis, _pad_trash(sel_ids, keep, n), epoch, n)
+        # num_scoring: fresh rows the DNN actually evaluated this hop
+        # (within-hop duplicates each cost a physical row here)
+        return sel_ids, sel_v, vis, jnp.sum(fresh_mask)
+
+    expand = (expand_wide_score if scfg.hop_mode == "wide"
+              else expand_filter_score)
 
     def search_eval(params: Params, state: State, index: SearchIndex,
                     user_seq_emb: jnp.ndarray, level_topn: jnp.ndarray):
@@ -325,7 +384,7 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
             cand_ids, cand_scores = res_ids, res_scores
             k_cap = scfg.top_k_per_level[level]
             for _ in range(scfg.num_scoring_per_level[level]):
-                fresh, fscores, vis, cnt = expand_filter_score(
+                fresh, fscores, vis, cnt = expand(
                     params, state, index, user_seq_emb, vis, epoch, level,
                     cand_ids, cand_scores, scfg.frontier_cap, n,
                     mix=len(num_scoring))
@@ -378,7 +437,7 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
                                               cand_scores > NEG_INF, n),
                               epoch, n)
             for _ in range(scfg.num_scoring_per_level[level]):
-                fresh, fscores, vis, cnt = expand_filter_score(
+                fresh, fscores, vis, cnt = expand(
                     params, state, index, user_seq_emb, vis, epoch, level,
                     cand_ids, cand_scores, scfg.frontier_cap, n,
                     mix=len(num_scoring))
@@ -398,7 +457,7 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
                           epoch, n)
         buf_ids, buf_scores = [res_ids], [res_scores]
         for i in range(hop_caps):
-            fresh, fscores, vis, cnt = expand_filter_score(
+            fresh, fscores, vis, cnt = expand(
                 params, state, index, user_seq_emb, vis, epoch, 0,
                 cand_ids, cand_scores, scfg.frontier_cap, n,
                 mix=len(num_scoring))

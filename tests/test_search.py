@@ -189,3 +189,58 @@ def test_search_batched_matches_single(search_setup):
     out0, _, _ = search1(state.params, state.bn_state, sidx,
                          jnp.asarray(user[1]), ltn)
     np.testing.assert_array_equal(np.asarray(outB[1]), np.asarray(out0))
+
+
+def test_wide_hop_mode_contract_and_overlap(search_setup):
+    """hop_mode="wide" (score-everything, select-by-score) must keep the
+    output contract (unique, sorted, runtime-k masked) and retrieve nearly
+    the same set as the filtered reference mode — at a tiny corpus every
+    mode converges on the same top items."""
+    import dataclasses
+
+    mcfg, state, test, sidx, scfg = search_setup
+    params = state.params
+    state_bn = state.bn_state
+    ltnv = jnp.asarray(level_topn_default(scfg))
+    base = jax.jit(make_searcher(mcfg, scfg))
+    wide = jax.jit(make_searcher(
+        mcfg, dataclasses.replace(scfg, hop_mode="wide")))
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        user = jnp.asarray(rng.standard_normal(
+            (mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32))
+        bi, bs, _ = base(params, state_bn, sidx, user, ltnv)
+        wi, ws, _ = wide(params, state_bn, sidx, user, ltnv)
+        wi, ws = np.asarray(wi), np.asarray(ws)
+        got = wi[wi >= 0]
+        assert len(got) > 0
+        assert len(np.unique(got)) == len(got)
+        assert np.all(np.diff(ws[wi >= 0]) <= 1e-6)
+        bset = set(np.asarray(bi)[np.asarray(bi) >= 0].tolist())
+        overlap = len(bset & set(got.tolist())) / max(len(bset), 1)
+        assert overlap >= 0.9, overlap
+
+
+def test_approx_topk_impl_contract(search_setup):
+    """topk_impl="approx" keeps the result contract; on CPU approx_max_k
+    falls back to exact so results match the default bit-for-bit."""
+    import dataclasses
+
+    mcfg, state, test, sidx, scfg = search_setup
+    params = state.params
+    state_bn = state.bn_state
+    ltnv = jnp.asarray(level_topn_default(scfg))
+    base = jax.jit(make_searcher(mcfg, scfg))
+    ap = jax.jit(make_searcher(
+        mcfg, dataclasses.replace(scfg, topk_impl="approx")))
+    rng = np.random.default_rng(12)
+    user = jnp.asarray(rng.standard_normal(
+        (mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32))
+    bi, _, _ = base(params, state_bn, sidx, user, ltnv)
+    ai, asc, _ = ap(params, state_bn, sidx, user, ltnv)
+    ai = np.asarray(ai)
+    got = ai[ai >= 0]
+    assert len(got) > 0 and len(np.unique(got)) == len(got)
+    bset = set(np.asarray(bi)[np.asarray(bi) >= 0].tolist())
+    overlap = len(bset & set(got.tolist())) / max(len(bset), 1)
+    assert overlap >= 0.9, overlap
