@@ -45,7 +45,7 @@ from nann_tpu.search import SearchIndex, make_searcher  # noqa: E402
 from nann_tpu.search.beam import level_topn_default  # noqa: E402
 
 
-def build_setup(num_items: int, seed: int = 0):
+def build_setup(num_items: int, seed: int = 0, reorder: str = None):
     mcfg = ModelConfig(num_item=num_items, num_cate=1000, emb_dim=32,
                        max_seq_length=50, compute_dtype="bfloat16")
     scfg = SearchConfig()  # reference defaults: levels (3,1,1), topk (400,200,100)
@@ -67,7 +67,7 @@ def build_setup(num_items: int, seed: int = 0):
     art = load_index(cache_dir, start_level=scfg.hnsw_start_level,
                      max_degree=64)
     sidx = SearchIndex.from_artifacts(art, item_embs, item_ids,
-                                      dtype=jnp.bfloat16)
+                                      dtype=jnp.bfloat16, reorder=reorder)
     return mcfg, scfg, params, state, sidx
 
 
@@ -86,6 +86,8 @@ def main():
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the measured "
                          "section into DIR (tracing parity, SURVEY §5.1)")
+    ap.add_argument("--reorder", default=None, choices=[None, "bfs"],
+                    help="relabel nodes for gather locality (index/reorder.py)")
     ap.add_argument("--chained", type=int, default=0, metavar="N",
                     help="also measure device-true single-query latency by "
                          "chaining N searches inside one program (immune to "
@@ -96,7 +98,8 @@ def main():
         args.reps = 10
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
-    mcfg, scfg, params, state, sidx = build_setup(args.items)
+    mcfg, scfg, params, state, sidx = build_setup(args.items,
+                                                  reorder=args.reorder)
 
     searcher = make_searcher(mcfg, scfg)
     search1 = jax.jit(searcher)
@@ -231,9 +234,16 @@ def main():
                                       run_load_test)
         eng = Engine(mcfg, scfg, params, state, sidx,
                      EngineConfig(batch_buckets=(1, args.batch), wait_ms=2.0))
-        target_qps = max(min(0.7 * qps, 2000.0), 50.0)
+        # calibrate against the ENGINE's own capacity (on a tunneled TPU the
+        # per-dispatch overhead, not the program, is the ceiling), then pace
+        # at 70% so percentiles measure service latency, not queue growth
+        cal = run_load_test(eng, LoadGenConfig(duration_s=2.0, qps=-1),
+                            verbose=False)
+        target_qps = max(0.7 * cal["qps"], 20.0)
+        eng.metrics.latency_us = type(eng.metrics.latency_us)()  # drop
+        # saturated calibration samples from the reported distribution
         res = run_load_test(
-            eng, LoadGenConfig(duration_s=6.0, qps=target_qps), verbose=False)
+            eng, LoadGenConfig(duration_s=8.0, qps=target_qps), verbose=False)
         lat = eng.metrics.latency_us.snapshot()
         eng.shutdown()
         if lat["count"] >= 200:

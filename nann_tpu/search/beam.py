@@ -65,20 +65,33 @@ class SearchIndex:
 
     @staticmethod
     def from_artifacts(art, item_embs: np.ndarray, item_ids: np.ndarray,
-                       dtype=jnp.float32) -> "SearchIndex":
+                       dtype=jnp.float32, reorder: str = None
+                       ) -> "SearchIndex":
         """dtype "int8" packs embeddings as symmetric per-row int8 + scale
         (index/quantize.py) — halves index memory; the frontier is
-        dequantized after each gather."""
+        dequantized after each gather.
+
+        reorder="bfs" relabels nodes in breadth-first order from the enter
+        points (index/reorder.py) so each hop's HBM gathers hit nearby rows;
+        results are identical in item-id space."""
+        enter, neigh = art.enter_points, art.neighbors
+        item_embs = np.asarray(item_embs)
+        item_ids = np.asarray(item_ids)
+        if reorder == "bfs":
+            from ..index.reorder import bfs_order, relabel
+            order = bfs_order(neigh[0], enter, item_embs.shape[0])
+            enter, neigh, item_embs, item_ids = relabel(
+                enter, neigh, item_embs, item_ids, order)
         if dtype in ("int8", jnp.int8):
             from ..index.quantize import pack_quantized
-            embs = pack_quantized(np.asarray(item_embs))
+            embs = pack_quantized(item_embs)
         else:
             embs = jnp.asarray(item_embs, dtype)
         return SearchIndex(
             item_embs=embs,
             item_ids=jnp.asarray(item_ids.astype(np.int32)),
-            enter_points=jnp.asarray(art.enter_points),
-            neighbors={l: jnp.asarray(v) for l, v in art.neighbors.items()},
+            enter_points=jnp.asarray(enter),
+            neighbors={l: jnp.asarray(v) for l, v in neigh.items()},
         )
 
 

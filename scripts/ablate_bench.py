@@ -1,18 +1,21 @@
-"""Decompose the fused-search latency with real program ablations.
+"""Decompose the fused-search cost with real program ablations.
 
-Micro-probes of isolated ops mislead (XLA rewrites around digests, relay
-behavior shifts); this measures the actual search program with pieces
-swapped out, all device-true via the chained-inside-one-program method:
+Measures the actual search program with pieces swapped out:
 
-  full           the production search (current default semantics)
-  serving        the exported-graph semantics variant
+  full           the production search (current defaults)
+  serving        exported-graph semantics variant
   no_filter      visited filter + dedup + compaction replaced by raw
                  truncation (isolates the filter cost)
   no_score       scorer replaced by a row-sum (isolates the DNN cost)
-  pallas         the Pallas frontier scorer instead of XLA-fused
+  approx         topk_impl="approx" (TPU approx_max_k compaction)
+  wide           hop_mode="wide" (sort-free hops)
+  wide_approx    both
 
-Usage: python scripts/ablate_bench.py [--items 200000] [--chain 32]
-                                      [--batch 16] [--variants ...]
+Batch-N pipelined timing (launch reps back-to-back, block once): per-dispatch
+relay overhead (~0.7 ms) is <5% of a batch-16 call and identical across
+variants. Use --chain for device-true single-query numbers (slow compile).
+
+Usage: python scripts/ablate_bench.py [--items 200000] [--batch 16]
 """
 
 from __future__ import annotations
@@ -35,12 +38,16 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--items", type=int, default=200_000)
-    ap.add_argument("--chain", type=int, default=32)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--chain", type=int, default=0,
+                    help="also device-true single-query via chained program")
     ap.add_argument("--variants", nargs="+",
-                    default=["full", "serving", "no_filter", "no_score"])
+                    default=["full", "no_filter", "no_score", "approx",
+                             "wide", "wide_approx"])
     args = ap.parse_args()
+
+    import dataclasses
 
     from bench import build_setup
     from nann_tpu.search import make_searcher
@@ -55,8 +62,8 @@ def main():
         (args.batch, mcfg.max_seq_length, mcfg.user_emb_dim)
     ).astype(np.float32))
 
-    def variant_searcher(name):
-        kw = {}
+    def variant(name):
+        cfg, kw = scfg, {}
         if name == "serving":
             kw["semantics"] = "serving"
         elif name == "no_filter":
@@ -65,51 +72,55 @@ def main():
             kw["_score"] = False
         elif name == "pallas":
             kw["use_pallas_scorer"] = True
-        return make_searcher(mcfg, scfg, **kw), kw.get("semantics")
-
-    def chained_single(searcher, ltn, N):
-        @jax.jit
-        def chained(params, state, sidx, user, ltn):
-            def body(_i, carry):
-                u = user + carry * 1e-12
-                _items, scores, _ns = searcher(params, state, sidx, u, ltn)
-                return scores[0]
-            return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
-        t0 = time.time()
-        jax.block_until_ready(chained(params, state, sidx, user1, ltn))
-        compile_s = time.time() - t0
-        t0 = time.perf_counter()
-        outs = [chained(params, state, sidx, user1, ltn)
-                for _ in range(args.reps)]
-        jax.block_until_ready(outs)
-        return (time.perf_counter() - t0) / (N * args.reps) * 1e3, compile_s
-
-    def chained_batch(searcher, ltn, N):
-        vs = jax.vmap(searcher, in_axes=(None, None, None, 0, None))
-
-        @jax.jit
-        def chained(params, state, sidx, users, ltn):
-            def body(_i, carry):
-                u = users + carry * 1e-12
-                _items, scores, _ns = vs(params, state, sidx, u, ltn)
-                return scores[0, 0]
-            return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
-        jax.block_until_ready(chained(params, state, sidx, userB, ltn))
-        t0 = time.perf_counter()
-        outs = [chained(params, state, sidx, userB, ltn)
-                for _ in range(args.reps)]
-        jax.block_until_ready(outs)
-        per_batch = (time.perf_counter() - t0) / (N * args.reps) * 1e3
-        return per_batch / args.batch
+        elif name == "approx":
+            cfg = dataclasses.replace(scfg, topk_impl="approx")
+        elif name == "wide":
+            cfg = dataclasses.replace(scfg, hop_mode="wide")
+        elif name == "wide_approx":
+            cfg = dataclasses.replace(scfg, hop_mode="wide",
+                                      topk_impl="approx")
+        return make_searcher(mcfg, cfg, **kw), kw.get("semantics")
 
     for name in args.variants:
-        searcher, sem = variant_searcher(name)
+        searcher, sem = variant(name)
         ltn = jnp.asarray(level_topn_default(scfg, sem))
-        ms1, comp = chained_single(searcher, ltn, args.chain)
-        msB = chained_batch(searcher, ltn, max(args.chain // 4, 4))
-        print(f"{name:10s} single {ms1:7.3f} ms/q   batch{args.batch} "
-              f"{msB:7.3f} ms/q ({args.batch/msB*1e3:7.1f} qps)  "
-              f"[compile {comp:.0f}s]", flush=True)
+        fB = jax.jit(jax.vmap(searcher, in_axes=(None, None, None, 0, None)))
+        t0 = time.time()
+        out = fB(params, state, sidx, userB, ltn)
+        jax.block_until_ready(out)
+        comp = time.time() - t0
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            out = fB(params, state, sidx, userB, ltn)
+        jax.block_until_ready(out)
+        per_q = (time.perf_counter() - t0) / args.reps / args.batch * 1e3
+        line = (f"{name:12s} batch{args.batch} {per_q:7.3f} ms/q "
+                f"({args.batch/per_q*1e3/args.batch:6.1f} q/ms... "
+                f"{1e3/per_q:7.1f} qps)  num_scoring="
+                f"{int(np.asarray(out[2]).sum()/args.batch)}  "
+                f"[compile {comp:.0f}s]")
+        print(line, flush=True)
+
+        if args.chain:
+            N = args.chain
+
+            @jax.jit
+            def chained(params, state, sidx, user, ltn, searcher=searcher):
+                def body(_i, carry):
+                    u = user + carry * 1e-12
+                    _it, scores, _ns = searcher(params, state, sidx, u, ltn)
+                    return scores[0]
+                return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+            t0 = time.time()
+            jax.block_until_ready(chained(params, state, sidx, user1, ltn))
+            comp = time.time() - t0
+            t0 = time.perf_counter()
+            outs = [chained(params, state, sidx, user1, ltn)
+                    for _ in range(3)]
+            jax.block_until_ready(outs)
+            ms1 = (time.perf_counter() - t0) / (N * 3) * 1e3
+            print(f"{name:12s} single (device-true) {ms1:7.3f} ms/q  "
+                  f"[compile {comp:.0f}s]", flush=True)
 
 
 if __name__ == "__main__":

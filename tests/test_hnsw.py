@@ -134,3 +134,52 @@ def test_pack_fixed_degree_truncation():
     row_splits = np.array([0, 5], np.int64)
     packed = pack_fixed_degree(values, row_splits, 3)
     np.testing.assert_array_equal(packed[0], [0, 1, 2])
+
+
+def test_bfs_reorder_is_pure_relabel(tmp_path):
+    """reorder="bfs" must leave search results bit-identical in item-id
+    space (it only permutes internal node ids for gather locality)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nann_tpu.config import ModelConfig, SearchConfig
+    from nann_tpu.models import init_scorer
+    from nann_tpu.search import SearchIndex, make_searcher
+    from nann_tpu.search.beam import level_topn_default
+
+    rng = np.random.default_rng(3)
+    n = 600
+    embs = rng.standard_normal((n, 16)).astype(np.float32)
+    build_and_save_index(embs, 2, 8, str(tmp_path), ef_construction=40)
+    art = load_index(str(tmp_path), 2, max_degree=16)
+    item_ids = np.arange(1, n + 1, dtype=np.int32)
+
+    mcfg = ModelConfig(num_item=n, num_cate=10, emb_dim=8, max_seq_length=6,
+                       item_tower_dims=(16, 16, 16), head_dims=(16, 8, 8, 1))
+    scfg = SearchConfig(top_k_per_level=(50, 25, 12), topk_eval=(50,),
+                        frontier_cap=256)
+    params, state = init_scorer(jax.random.PRNGKey(0), mcfg)
+    search = jax.jit(make_searcher(mcfg, scfg))
+    ltn = jnp.asarray(level_topn_default(scfg))
+
+    base = SearchIndex.from_artifacts(art, embs, item_ids)
+    reord = SearchIndex.from_artifacts(art, embs, item_ids, reorder="bfs")
+    # the permutation must actually move things
+    assert not np.array_equal(np.asarray(base.item_ids),
+                              np.asarray(reord.item_ids))
+    # every level's neighbor multiset is preserved under the relabel
+    for lvl in art.neighbors:
+        a = np.sort(np.asarray(base.item_ids)[np.asarray(
+            base.neighbors[lvl]).reshape(-1)])
+        b = np.sort(np.asarray(reord.item_ids)[np.asarray(
+            reord.neighbors[lvl]).reshape(-1)])
+        np.testing.assert_array_equal(a, b)
+
+    for seed in range(3):
+        u = jnp.asarray(np.random.default_rng(seed).standard_normal(
+            (6, 16)).astype(np.float32))
+        bi, bs, _ = search(params, state, base, u, ltn)
+        ri, rs, _ = search(params, state, reord, u, ltn)
+        bi, ri = np.asarray(bi), np.asarray(ri)
+        np.testing.assert_array_equal(np.sort(bi[bi >= 0]),
+                                      np.sort(ri[ri >= 0]))
