@@ -10,6 +10,8 @@ are laid out sharded over the "dp" axis by jax.device_put.
 
 from __future__ import annotations
 
+import queue
+import threading
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -26,12 +28,13 @@ class BatchIterator:
 
     def __init__(self, data: Dict[str, np.ndarray], batch_size: int,
                  epochs: int = 1, drop_remainder: bool = True, seed: int = 0,
-                 mesh: Optional["Mesh"] = None):
+                 mesh: Optional["Mesh"] = None, prefetch: int = 2):
         self.data = data
         self.batch_size = batch_size
         self.epochs = epochs
         self.drop_remainder = drop_remainder
         self.seed = seed
+        self.prefetch = prefetch
         self.num_samples = len(next(iter(data.values())))
         self._shardings = None
         if mesh is not None:
@@ -54,10 +57,55 @@ class BatchIterator:
         return self.iter_from(0)
 
     def iter_from(self, start_batch: int) -> Iterator[Dict[str, np.ndarray]]:
-        """Iterate starting at global batch `start_batch` — the resume
-        fast-forward. Skipped epochs cost nothing; the within-epoch offset
-        just starts later in that epoch's permutation, so a resumed run sees
-        exactly the batches the interrupted schedule still owed it."""
+        """Iterate from global batch `start_batch`, with `prefetch` batches
+        materialized ahead on a background thread (host indexing + the
+        device_put enqueue overlap the in-flight train step — the tf.data
+        prefetch of the reference pipeline, dataio.py:66-71)."""
+        if self.prefetch <= 0:
+            yield from self._produce(start_batch)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        _END, _ERR = object(), object()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def worker():
+            try:
+                for b in self._produce(start_batch):
+                    if not put(b):
+                        return
+                put(_END)
+            except BaseException as e:  # propagate into the consumer
+                put((_ERR, e))
+
+        t = threading.Thread(target=worker, daemon=True,
+                             name="batch-prefetch")
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if (isinstance(item, tuple) and len(item) == 2
+                        and item[0] is _ERR):
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()  # consumer done/abandoned: let the worker exit
+
+    def _produce(self, start_batch: int) -> Iterator[Dict[str, np.ndarray]]:
+        """Resume fast-forward: skipped epochs cost nothing; the within-epoch
+        offset just starts later in that epoch's permutation, so a resumed
+        run sees exactly the batches the interrupted schedule still owed
+        it."""
         per_epoch = self.batches_per_epoch
         first_epoch, offset = ((start_batch // per_epoch,
                                 start_batch % per_epoch)

@@ -190,7 +190,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
                   semantics: str = None,
                   use_pallas_scorer: bool = False, pallas_tile: int = 1024,
                   pallas_interpret: bool = False,
-                  _filter: bool = True, _score: bool = True):
+                  _filter: bool = True, _score: bool = True,
+                  _barrier: bool = False):
     """Build the fused search program.
 
     Returns search(params, state, index, user_seq_emb, level_topn):
@@ -313,6 +314,13 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         fresh_valid = fresh_key != jnp.int32(2**31 - 1)
         fresh = jnp.where(fresh_valid, fresh_key ^ salt, sentinel)
 
+        if _barrier:
+            # fusion fence: hand the scorer a clean (ids, mask) boundary so
+            # XLA cannot entangle the DNN chain with the sort/scatter graph
+            # (measured: without it the full program spills ~3.6GB of scorer
+            # intermediates that the filter-free program keeps fused)
+            fresh, fresh_valid = jax.lax.optimization_barrier(
+                (fresh, fresh_valid))
         scores = score_items(params, state, user_seq_emb, fresh, fresh_valid,
                              n, index.item_embs)
         return fresh, scores, vis, jnp.minimum(num_fresh, f_cap)

@@ -63,7 +63,7 @@ def main():
     ).astype(np.float32))
 
     def variant(name):
-        cfg, kw = scfg, {}
+        cfg, kw, mc = scfg, {}, mcfg
         if name == "serving":
             kw["semantics"] = "serving"
         elif name == "no_filter":
@@ -79,7 +79,17 @@ def main():
         elif name == "wide_approx":
             cfg = dataclasses.replace(scfg, hop_mode="wide",
                                       topk_impl="approx")
-        return make_searcher(mcfg, cfg, **kw), kw.get("semantics")
+        elif name == "barrier":
+            kw["_barrier"] = True
+        elif name == "bf16":
+            mc = dataclasses.replace(mcfg, compute_dtype="bfloat16")
+        elif name == "barrier_bf16":
+            kw["_barrier"] = True
+            mc = dataclasses.replace(mcfg, compute_dtype="bfloat16")
+        elif name == "pallas_bf16":
+            kw["use_pallas_scorer"] = True
+            mc = dataclasses.replace(mcfg, compute_dtype="bfloat16")
+        return make_searcher(mc, cfg, **kw), kw.get("semantics")
 
     for name in args.variants:
         searcher, sem = variant(name)

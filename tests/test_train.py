@@ -135,3 +135,31 @@ def test_batch_iterator_resume_fast_forward(setup):
         assert len(resumed) == len(full) - k
         for a, b in zip(resumed, full[k:]):
             assert np.array_equal(a["gt_item_id"], b["gt_item_id"])
+
+
+def test_batch_iterator_prefetch_matches_sync(setup):
+    """The prefetch thread changes timing, not contents: same batches in the
+    same order as prefetch=0, and abandoning the iterator mid-epoch leaves no
+    stuck producer (the worker observes the stop flag and exits)."""
+    import threading
+
+    _, _, train, _ = setup
+    sync = list(BatchIterator(train, batch_size=64, epochs=2, seed=3,
+                              prefetch=0))
+    pre = list(BatchIterator(train, batch_size=64, epochs=2, seed=3,
+                             prefetch=3))
+    assert len(pre) == len(sync)
+    for a, b in zip(pre, sync):
+        assert np.array_equal(a["gt_item_id"], b["gt_item_id"])
+
+    it = iter(BatchIterator(train, batch_size=64, epochs=50, seed=3,
+                            prefetch=2))
+    next(it)
+    it.close()  # abandon mid-stream
+    deadline = 50  # 5s
+    while deadline and any(t.name == "batch-prefetch" and t.is_alive()
+                           for t in threading.enumerate()):
+        import time
+        time.sleep(0.1)
+        deadline -= 1
+    assert deadline, "prefetch worker did not exit after abandonment"
