@@ -89,6 +89,9 @@ def main():
         elif name == "pallas_bf16":
             kw["use_pallas_scorer"] = True
             mc = dataclasses.replace(mcfg, compute_dtype="bfloat16")
+        elif name == "pallas_barrier":
+            kw["use_pallas_scorer"] = True
+            kw["_barrier"] = True
         return make_searcher(mc, cfg, **kw), kw.get("semantics")
 
     for name in args.variants:

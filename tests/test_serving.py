@@ -229,3 +229,42 @@ def test_runmeta_record_and_replay(engine_setup, tmp_path):
         assert res["failures"] == 0
     finally:
         eng.shutdown()
+
+
+def test_mixed_level_topn_latency_bounded(engine):
+    """Adversarial alternating level_topn mix (the worst case for the
+    hold-back-then-front-of-line grouping, engine._dispatch_once): every
+    dispatch window sees both budgets, so half the requests are held one
+    cycle. The mixed stream must stay FAIR — per-budget p99 within a small
+    multiple of the homogeneous stream's p99 — and lose at most one dispatch
+    cycle (wait_ms + service) per request, not queue up unboundedly."""
+    rng = np.random.default_rng(11)
+    ltn_a = level_topn_default(engine.scfg)
+    ltn_b = ltn_a.copy()
+    ltn_b[-1] = max(1, ltn_a[-1] // 2)
+
+    def run_stream(ltns, n=60, gap_s=0.002):
+        lats = {i: None for i in range(n)}
+        futs = []
+        for i in range(n):
+            u = rng.standard_normal((8, 16)).astype(np.float32)
+            t0 = time.perf_counter()
+            futs.append((i, t0, engine.submit(u, ltns[i % len(ltns)])))
+            time.sleep(gap_s)
+        for i, t0, f in futs:
+            f.result(timeout=30)
+            lats[i] = time.perf_counter() - t0
+        return np.asarray([lats[i] for i in range(n)])
+
+    homog = run_stream([ltn_a])
+    mixed = run_stream([ltn_a, ltn_b])  # strict alternation
+    p99_h = np.percentile(homog, 99)
+    p99_ab = (np.percentile(mixed[0::2], 99), np.percentile(mixed[1::2], 99))
+    cycle = engine.config.wait_ms / 1e3 + np.percentile(homog, 50)
+    for p99_m in p99_ab:
+        # one extra dispatch cycle of added latency allowed (held requests go
+        # front-of-line next cycle); 3x guards CI timing noise
+        assert p99_m <= 3 * (p99_h + cycle), (p99_m, p99_h, cycle)
+    # fairness between the two interleaved budgets
+    lo, hi = sorted([np.median(mixed[0::2]), np.median(mixed[1::2])])
+    assert hi <= 5 * lo + 0.05, (lo, hi)
