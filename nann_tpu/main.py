@@ -46,6 +46,9 @@ def parse_opt(argv=None) -> argparse.Namespace:
                    help="beam width for tree search")
     p.add_argument("--port", type=int, default=8501)
     p.add_argument("--output-root", default="./output")
+    p.add_argument("--index-dir", default=None,
+                   help="override <output-root>/index (index variants built "
+                        "at different graph-quality knobs over one checkpoint)")
     p.add_argument("--dataset-dir", default="./data")
     p.add_argument("--synthetic", action="store_true",
                    help="use the synthetic dataset generator instead of a "
@@ -507,6 +510,9 @@ def main(argv=None):
         os.path.join(os.path.expanduser("~"), ".cache", "nann_tpu_xla"))
     mcfg, tcfg, scfg, = build_configs(args)
     paths = Paths(args.output_root)
+    if args.index_dir:
+        os.makedirs(args.index_dir, exist_ok=True)
+        paths.index_dir = args.index_dir
     logger.info(f"job={args.job_type} model={mcfg} train={tcfg} search={scfg}")
     if args.job_type == "all":
         for name in ("train", "extract_feature", "build_index", "test_all",
