@@ -141,6 +141,59 @@ def _masked_topk(ids: jnp.ndarray, scores: jnp.ndarray, k_static: int,
             jnp.where(live, top_scores, NEG_INF))
 
 
+def filter_expand(be, neighbors_l: jnp.ndarray, vis: jnp.ndarray, epoch,
+                  cand_ids: jnp.ndarray, cand_scores: jnp.ndarray,
+                  f_cap: int, n: int, salt: jnp.ndarray,
+                  topk_impl: str = "exact",
+                  mark_ids: jnp.ndarray = None, mark_valid: jnp.ndarray = None
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """The filter half of one hop: neighbor expansion -> in-frontier dedup ->
+    visited test-and-mark -> unbiased compaction to f_cap.
+
+    Module-level so the staged executor (search/staged.py) can compile it as
+    its own XLA program; the fused path (expand_filter_score) calls it too.
+    salt is traced (not static) so hops share compilations. Optionally marks
+    mark_ids visited first (the level-entry marking, model.py:312).
+    Returns (fresh ids [f_cap], fresh_valid [f_cap], vis, num_fresh)."""
+    sentinel = n
+    if mark_ids is not None:
+        vis = be.vis_mark(vis, _pad_trash(mark_ids, mark_valid, n), epoch, n)
+    valid_cand = cand_scores > NEG_INF
+    nb = be.take_rows(neighbors_l, cand_ids, n)
+    nb = jnp.where(valid_cand[:, None], nb, sentinel).reshape(-1)
+    f_cap = min(f_cap, nb.shape[0])
+    nb_sorted = jnp.sort(nb)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), nb_sorted[1:] != nb_sorted[:-1]])
+    unvisited = be.vis_unvisited(vis, nb_sorted, epoch, n)
+    keep = first & unvisited & (nb_sorted < n)
+    num_fresh = jnp.sum(keep)
+
+    # mark EVERY fresh node visited (reference BitmapRefDifference marks
+    # all ids it returns); kept entries are unique (first-occurrence) and
+    # masked ones get distinct trash slots, so the scatter stays vectorized
+    vis = be.vis_mark_sorted(vis, _pad_trash(nb_sorted, keep, n), epoch, n)
+
+    # compaction to the scoring cap: kept ids to the front by value-sort.
+    # When unique fresh nodes exceed f_cap, selecting ascending ids would
+    # systematically favor low catalogue ids, so sort by an XOR-mixed
+    # bijection of the id (per-hop salt) — an unbiased pseudo-random
+    # truncation; ids are recovered by the inverse XOR
+    imax = jnp.int32(2**31 - 1)
+    key = jnp.where(keep, nb_sorted ^ salt, imax)
+    if topk_impl == "approx" and key.shape[0] > f_cap:
+        # TPU-native partial reduce instead of a second full sort; f32
+        # key rounding only perturbs which fresh nodes the (already
+        # pseudo-random) truncation picks
+        _kv, ki = jax.lax.approx_min_k(key.astype(jnp.float32), f_cap)
+        fresh_key = jnp.take(key, ki)
+    else:
+        fresh_key = jnp.sort(key)[:f_cap]
+    fresh_valid = fresh_key != imax
+    fresh = jnp.where(fresh_valid, fresh_key ^ salt, sentinel)
+    return fresh, fresh_valid, vis, jnp.minimum(num_fresh, f_cap)
+
+
 class LocalBackend:
     """Single-device index access: plain gathers and a full visited buffer.
 
@@ -271,48 +324,22 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         # (measured: pre-sorting candidates for gather locality is neutral on
         # v5e at 200k-1M items — the working set, not the access order, is
         # what the 1M slowdown costs; keep score order)
-        valid_cand = cand_scores > NEG_INF
-        nb = be.take_rows(index.neighbors[level], cand_ids, n)
-        nb = jnp.where(valid_cand[:, None], nb, sentinel).reshape(-1)
-
-        f_cap = min(f_cap, nb.shape[0])
         if not _filter:  # benchmarking stub: isolate filter cost
+            valid_cand = cand_scores > NEG_INF
+            nb = be.take_rows(index.neighbors[level], cand_ids, n)
+            nb = jnp.where(valid_cand[:, None], nb, sentinel).reshape(-1)
+            f_cap = min(f_cap, nb.shape[0])
             fresh = nb[:f_cap]
             fresh_valid = fresh < n
             fresh = jnp.where(fresh_valid, fresh, sentinel)
             scores = score_items(params, state, user_seq_emb, fresh,
                                  fresh_valid, n, index.item_embs)
             return fresh, scores, vis, jnp.sum(fresh_valid)
-        nb_sorted = jnp.sort(nb)
-        first = jnp.concatenate(
-            [jnp.ones((1,), bool), nb_sorted[1:] != nb_sorted[:-1]])
-        unvisited = be.vis_unvisited(vis, nb_sorted, epoch, n)
-        keep = first & unvisited & (nb_sorted < n)
-        num_fresh = jnp.sum(keep)
-
-        # mark EVERY fresh node visited (reference BitmapRefDifference marks
-        # all ids it returns); kept entries are unique (first-occurrence) and
-        # masked ones get distinct trash slots, so the scatter stays vectorized
-        vis = be.vis_mark_sorted(
-            vis, _pad_trash(nb_sorted, keep, n), epoch, n)
-
-        # compaction to the scoring cap: kept ids to the front by value-sort.
-        # When unique fresh nodes exceed f_cap, selecting ascending ids would
-        # systematically favor low catalogue ids, so sort by an XOR-mixed
-        # bijection of the id (per-hop salt) — an unbiased pseudo-random
-        # truncation; ids are recovered by the inverse XOR
-        salt = (0x1F123BB5 * (mix + 1)) & 0x3FFFFFFF if n > f_cap else 0
-        key = jnp.where(keep, nb_sorted ^ salt, jnp.int32(2**31 - 1))
-        if scfg.topk_impl == "approx" and key.shape[0] > f_cap:
-            # TPU-native partial reduce instead of a second full sort; f32
-            # key rounding only perturbs which fresh nodes the (already
-            # pseudo-random) truncation picks
-            _kv, ki = jax.lax.approx_min_k(key.astype(jnp.float32), f_cap)
-            fresh_key = jnp.take(key, ki)
-        else:
-            fresh_key = jnp.sort(key)[:f_cap]
-        fresh_valid = fresh_key != jnp.int32(2**31 - 1)
-        fresh = jnp.where(fresh_valid, fresh_key ^ salt, sentinel)
+        salt = jnp.int32((0x1F123BB5 * (mix + 1)) & 0x3FFFFFFF
+                         if n > f_cap else 0)
+        fresh, fresh_valid, vis, num_fresh = filter_expand(
+            be, index.neighbors[level], vis, epoch, cand_ids, cand_scores,
+            f_cap, n, salt, topk_impl=scfg.topk_impl)
 
         if _barrier:
             # fusion fence: hand the scorer a clean (ids, mask) boundary so
@@ -323,7 +350,7 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
                 (fresh, fresh_valid))
         scores = score_items(params, state, user_seq_emb, fresh, fresh_valid,
                              n, index.item_embs)
-        return fresh, scores, vis, jnp.minimum(num_fresh, f_cap)
+        return fresh, scores, vis, num_fresh
 
     def expand_wide_score(params, state, index, user_seq_emb, vis, epoch,
                           level, cand_ids, cand_scores, f_cap, n, mix=0):

@@ -62,6 +62,10 @@ class EngineConfig:
     mesh: Optional[object] = None     # jax Mesh: serve the ROW-SHARDED index
     #   (search/distributed.py) — the caller passes a shard_index()-placed
     #   SearchIndex; swap_model expects sharded indexes too
+    staged: bool = False              # staged hop execution (search/staged.py):
+    #   ~2 XLA programs per hop as a fusion firewall around the measured
+    #   co-compilation pathology; results are id-identical to the fused
+    #   program (tests/test_staged.py)
 
 
 @dataclasses.dataclass
@@ -101,6 +105,14 @@ class Engine:
             jitted = jax.jit(dist)
             for b in sorted(self.config.batch_buckets):
                 self._fns[b] = jitted
+        elif self.config.staged:
+            from ..search.staged import make_staged_searcher
+            # a Python multi-program dispatcher, not a single jit: each stage
+            # specializes per bucket at warmup; dispatch stays fully async so
+            # the completion thread's one sync per drain still holds
+            fn = make_staged_searcher(mcfg, scfg)
+            for b in sorted(self.config.batch_buckets):
+                self._fns[b] = fn
         else:
             searcher = make_searcher(mcfg, scfg)
             jitted = jax.jit(jax.vmap(

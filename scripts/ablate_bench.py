@@ -64,6 +64,9 @@ def main():
 
     def variant(name):
         cfg, kw, mc = scfg, {}, mcfg
+        if name == "staged":
+            from nann_tpu.search.staged import make_staged_searcher
+            return make_staged_searcher(mcfg, scfg), "staged"
         if name == "serving":
             kw["semantics"] = "serving"
         elif name == "no_filter":
@@ -96,8 +99,13 @@ def main():
 
     for name in args.variants:
         searcher, sem = variant(name)
-        ltn = jnp.asarray(level_topn_default(scfg, sem))
-        fB = jax.jit(jax.vmap(searcher, in_axes=(None, None, None, 0, None)))
+        if sem == "staged":   # already batched, multi-program — no outer jit
+            ltn = jnp.asarray(level_topn_default(scfg))
+            fB = searcher
+        else:
+            ltn = jnp.asarray(level_topn_default(scfg, sem))
+            fB = jax.jit(jax.vmap(searcher,
+                                  in_axes=(None, None, None, 0, None)))
         t0 = time.time()
         out = fB(params, state, sidx, userB, ltn)
         jax.block_until_ready(out)
