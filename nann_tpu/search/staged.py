@@ -203,4 +203,7 @@ def make_staged_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         items, scores = j_final(res_ids, res_scores, index.item_ids, ltn[-1])
         return items, scores, jnp.stack(counts, axis=-1)
 
+    # expose the stage programs for warmup and per-stage profiling
+    searchB.stages = {"prep": j_prep, "enter": j_enter, "filter": j_filter,
+                      "score": j_score, "final": j_final}
     return searchB
