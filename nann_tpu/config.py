@@ -106,11 +106,25 @@ class SearchConfig:
     #                are cheap on the MXU; the visited set still prevents
     #                candidate cycling).
     hop_mode: str = "filtered"
+    # visited-set representation inside the fused search:
+    #   "bytemap" = per-query [n_items] uint8 epoch stamps — the direct
+    #               BitmapRefDifference analogue. Its random 1-byte
+    #               gather+scatter is the measured TPU bottleneck (~70% of
+    #               search time, docs/DESIGN.md round-2 forensics II) and
+    #               its memory is O(catalogue) per query;
+    #   "list"    = visited ids kept as a sorted-mergeable LIST; membership,
+    #               dedup and union are computed with sorts over tagged keys
+    #               (2*id+tag) — no random gather/scatter at all, memory
+    #               O(visited). Identical results to "bytemap".
+    vis_impl: str = "list"
 
     def validate(self) -> None:
         assert len(self.num_scoring_per_level) == self.hnsw_start_level + 1
         assert len(self.top_k_per_level) == self.hnsw_start_level + 1
         assert self.num_scoring_per_level[self.hnsw_start_level] == 1
+        assert self.topk_impl in ("exact", "approx"), self.topk_impl
+        assert self.hop_mode in ("filtered", "wide"), self.hop_mode
+        assert self.vis_impl in ("bytemap", "list"), self.vis_impl
 
 
 @dataclasses.dataclass

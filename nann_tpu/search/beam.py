@@ -141,6 +141,26 @@ def _masked_topk(ids: jnp.ndarray, scores: jnp.ndarray, k_static: int,
             jnp.where(live, top_scores, NEG_INF))
 
 
+def _select_fresh(key: jnp.ndarray, imax, salt, f_cap: int, n: int,
+                  topk_impl: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Compaction to the scoring cap: kept (salted) keys to the front by
+    value-sort. When unique fresh nodes exceed f_cap, selecting ascending ids
+    would systematically favor low catalogue ids, so keys are an XOR-mixed
+    bijection of the id (per-hop salt) — an unbiased pseudo-random
+    truncation; ids are recovered by the inverse XOR."""
+    if topk_impl == "approx" and key.shape[0] > f_cap:
+        # TPU-native partial reduce instead of a second full sort; f32
+        # key rounding only perturbs which fresh nodes the (already
+        # pseudo-random) truncation picks
+        _kv, ki = jax.lax.approx_min_k(key.astype(jnp.float32), f_cap)
+        fresh_key = jnp.take(key, ki)
+    else:
+        fresh_key = jnp.sort(key)[:f_cap]
+    fresh_valid = fresh_key != imax
+    fresh = jnp.where(fresh_valid, fresh_key ^ salt, n)
+    return fresh, fresh_valid
+
+
 def filter_expand(be, neighbors_l: jnp.ndarray, vis: jnp.ndarray, epoch,
                   cand_ids: jnp.ndarray, cand_scores: jnp.ndarray,
                   f_cap: int, n: int, salt: jnp.ndarray,
@@ -157,41 +177,12 @@ def filter_expand(be, neighbors_l: jnp.ndarray, vis: jnp.ndarray, epoch,
     Returns (fresh ids [f_cap], fresh_valid [f_cap], vis, num_fresh)."""
     sentinel = n
     if mark_ids is not None:
-        vis = be.vis_mark(vis, _pad_trash(mark_ids, mark_valid, n), epoch, n)
+        vis = be.vis_reset_mark(vis, mark_ids, mark_valid, epoch, n)
     valid_cand = cand_scores > NEG_INF
     nb = be.take_rows(neighbors_l, cand_ids, n)
     nb = jnp.where(valid_cand[:, None], nb, sentinel).reshape(-1)
     f_cap = min(f_cap, nb.shape[0])
-    nb_sorted = jnp.sort(nb)
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), nb_sorted[1:] != nb_sorted[:-1]])
-    unvisited = be.vis_unvisited(vis, nb_sorted, epoch, n)
-    keep = first & unvisited & (nb_sorted < n)
-    num_fresh = jnp.sum(keep)
-
-    # mark EVERY fresh node visited (reference BitmapRefDifference marks
-    # all ids it returns); kept entries are unique (first-occurrence) and
-    # masked ones get distinct trash slots, so the scatter stays vectorized
-    vis = be.vis_mark_sorted(vis, _pad_trash(nb_sorted, keep, n), epoch, n)
-
-    # compaction to the scoring cap: kept ids to the front by value-sort.
-    # When unique fresh nodes exceed f_cap, selecting ascending ids would
-    # systematically favor low catalogue ids, so sort by an XOR-mixed
-    # bijection of the id (per-hop salt) — an unbiased pseudo-random
-    # truncation; ids are recovered by the inverse XOR
-    imax = jnp.int32(2**31 - 1)
-    key = jnp.where(keep, nb_sorted ^ salt, imax)
-    if topk_impl == "approx" and key.shape[0] > f_cap:
-        # TPU-native partial reduce instead of a second full sort; f32
-        # key rounding only perturbs which fresh nodes the (already
-        # pseudo-random) truncation picks
-        _kv, ki = jax.lax.approx_min_k(key.astype(jnp.float32), f_cap)
-        fresh_key = jnp.take(key, ki)
-    else:
-        fresh_key = jnp.sort(key)[:f_cap]
-    fresh_valid = fresh_key != imax
-    fresh = jnp.where(fresh_valid, fresh_key ^ salt, sentinel)
-    return fresh, fresh_valid, vis, jnp.minimum(num_fresh, f_cap)
+    return be.dedup_filter_mark(vis, nb, epoch, n, salt, f_cap, topk_impl)
 
 
 class LocalBackend:
@@ -233,8 +224,123 @@ class LocalBackend:
                  n: int) -> jnp.ndarray:
         return vis.at[ids].set(epoch, unique_indices=True)
 
+    def vis_reset_mark(self, vis: jnp.ndarray, ids: jnp.ndarray,
+                       valid: jnp.ndarray, epoch, n: int) -> jnp.ndarray:
+        """Level entry: visited starts as this level's candidate set
+        (model.py:312). For the epoch-stamped map the new epoch IS the reset;
+        only the marks are written."""
+        return self.vis_mark(vis, _pad_trash(ids, valid, n), epoch, n)
+
+    def dedup_filter_mark(self, vis: jnp.ndarray, nb: jnp.ndarray, epoch,
+                          n: int, salt: jnp.ndarray, f_cap: int,
+                          topk_impl: str):
+        """In-frontier dedup -> visited test -> mark -> compaction to f_cap
+        over the flattened masked expansion `nb` (invalid entries = n).
+        Returns (fresh [f_cap], fresh_valid [f_cap], vis, num_fresh)."""
+        sentinel = n
+        nb_sorted = jnp.sort(nb)
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), nb_sorted[1:] != nb_sorted[:-1]])
+        unvisited = self.vis_unvisited(vis, nb_sorted, epoch, n)
+        keep = first & unvisited & (nb_sorted < n)
+        num_fresh = jnp.sum(keep)
+
+        # mark EVERY fresh node visited (reference BitmapRefDifference marks
+        # all ids it returns); kept entries are unique (first-occurrence) and
+        # masked ones get distinct trash slots, so the scatter stays
+        # vectorized
+        vis = self.vis_mark_sorted(vis, _pad_trash(nb_sorted, keep, n),
+                                   epoch, n)
+        imax = jnp.int32(2**31 - 1)
+        key = jnp.where(keep, nb_sorted ^ salt, imax)
+        fresh, fresh_valid = _select_fresh(key, imax, salt, f_cap, n,
+                                           topk_impl)
+        return fresh, fresh_valid, vis, jnp.minimum(num_fresh, f_cap)
+
     def run_scorer(self, score_fn, emb: jnp.ndarray) -> jnp.ndarray:
         return score_fn(emb)
+
+
+class ListBackend(LocalBackend):
+    """Visited set as a sorted-mergeable id LIST instead of an O(n_items)
+    byte-map.
+
+    Measured motivation (docs/DESIGN.md round-2 forensics II): the byte-map's
+    random 1-byte gather (~272 us/q) + scatter (~162 us/q) are ~70% of total
+    search time on TPU, while 25k-element sorts cost ~15 us. Here membership,
+    in-frontier dedup and the visited-union are all computed by ONE sort over
+    tagged keys (2*id + tag: even = already-visited, odd = frontier):
+
+      sorted order places a frontier id's key directly after its visited key
+      (if any), so `prev == key - 1` IS the membership test, and equal
+      adjacent odd keys mark within-frontier duplicates.
+
+    The updated visited state is the masked merge itself (ascending ids with
+    pads interspersed — order is irrelevant since the next hop re-sorts), so
+    its static size grows by the expansion size each hop; hops are unrolled,
+    so every shape stays static. Results are bit-identical to "bytemap"
+    (tests/test_vis_list.py).
+
+    Reference analogue: bitmap_op/bitmap_ops.cc:150-258 (BitmapRefDifference)
+    — same filter-and-mark contract, re-designed for a machine with fast
+    sorts and slow random byte access. Memory: O(visited) per query instead
+    of O(catalogue), which also removes the n_items-byte buffer from the
+    1M/8M-item scaling ladder."""
+
+    PAD = np.int32(2**31 - 1)
+
+    def vis_init(self, n: int, trash: int = 1) -> jnp.ndarray:
+        # the list starts empty; level entry (vis_reset_mark) populates it
+        return jnp.full((0,), ListBackend.PAD, jnp.int32)
+
+    def vis_reset_mark(self, vis: jnp.ndarray, ids: jnp.ndarray,
+                       valid: jnp.ndarray, epoch, n: int) -> jnp.ndarray:
+        # the new visited set IS the candidate list (order irrelevant)
+        return jnp.where(valid, ids.astype(jnp.int32), ListBackend.PAD)
+
+    def vis_unvisited(self, vis, ids, epoch, n):
+        raise NotImplementedError(
+            "ListBackend has no random-access membership; use "
+            "dedup_filter_mark (hop_mode='wide' requires vis_impl='bytemap')")
+
+    vis_mark = vis_unvisited
+    vis_mark_sorted = vis_unvisited
+
+    def dedup_filter_mark(self, vis: jnp.ndarray, nb: jnp.ndarray, epoch,
+                          n: int, salt: jnp.ndarray, f_cap: int,
+                          topk_impl: str):
+        # tagged keys: visited ids -> 2*id (even), frontier ids -> 2*id+1
+        # (odd); pads sort past every real key (requires n < 2^30, i.e.
+        # catalogues up to ~1B items in int32)
+        k_pad_v = jnp.int32(2**31 - 2)   # even pad (visited-side)
+        imax = jnp.int32(2**31 - 1)      # odd pad (frontier-side)
+        key_vis = jnp.where(vis < n, vis * 2, k_pad_v)
+        key_nb = jnp.where(nb < n, nb * 2 + 1, imax)
+        merged = jnp.sort(jnp.concatenate([key_vis, key_nb]))
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), merged[:-1]])
+        is_nb = (merged & 1) == 1
+        real = merged < k_pad_v
+        first = merged != prev           # dedup: equal odd keys are adjacent
+        visited = prev == merged - 1     # the even twin sorts directly before
+        fresh_mask = is_nb & real & first & ~visited
+        num_fresh = jnp.sum(fresh_mask)
+
+        ids = jax.lax.shift_right_logical(merged, 1)
+        # union: old visited entries + newly fresh frontier entries (visited
+        # frontier ids are already present as their even twin)
+        new_vis = jnp.where(real & (~is_nb | fresh_mask), ids,
+                            ListBackend.PAD)
+        key = jnp.where(fresh_mask, ids ^ salt, imax)
+        fresh, fresh_valid = _select_fresh(key, imax, salt, f_cap, n,
+                                           topk_impl)
+        return fresh, fresh_valid, new_vis, jnp.minimum(num_fresh, f_cap)
+
+def default_backend(scfg: SearchConfig) -> LocalBackend:
+    """Pick the visited-set backend the config asks for. hop_mode='wide'
+    needs random-access membership, so it always gets the byte-map."""
+    if scfg.vis_impl == "list" and scfg.hop_mode == "filtered":
+        return ListBackend()
+    return LocalBackend()
 
 
 def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
@@ -258,7 +364,7 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
     """
     scfg.validate()
     semantics = semantics or scfg.semantics
-    be = backend or LocalBackend()
+    be = backend or default_backend(scfg)
     start = scfg.hnsw_start_level
     k_start_cap = scfg.top_k_per_level[start]
     hop_caps = scfg.num_scoring_per_level[0]
@@ -427,8 +533,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         for level in range(start - 1, -1, -1):
             epoch = jnp.uint8(level)
             # visited starts as this level's enter points (model.py:312)
-            vis = be.vis_mark(vis, _pad_trash(res_ids, res_scores > NEG_INF,
-                                              n), epoch, n)
+            vis = be.vis_reset_mark(vis, res_ids, res_scores > NEG_INF,
+                                    epoch, n)
             cand_ids, cand_scores = res_ids, res_scores
             k_cap = scfg.top_k_per_level[level]
             for _ in range(scfg.num_scoring_per_level[level]):
@@ -481,9 +587,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         cand_ids, cand_scores = res_ids, res_scores
         for level in range(start - 1, 0, -1):
             epoch = jnp.uint8(level)
-            vis = be.vis_mark(vis, _pad_trash(cand_ids,
-                                              cand_scores > NEG_INF, n),
-                              epoch, n)
+            vis = be.vis_reset_mark(vis, cand_ids, cand_scores > NEG_INF,
+                                    epoch, n)
             for _ in range(scfg.num_scoring_per_level[level]):
                 fresh, fscores, vis, cnt = expand(
                     params, state, index, user_seq_emb, vis, epoch, level,
@@ -501,8 +606,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         # --- ground level: fresh-topk hops, results accumulate
         #     (build_opt_graph.py:128-141) ---
         epoch = jnp.uint8(0)
-        vis = be.vis_mark(vis, _pad_trash(cand_ids, cand_scores > NEG_INF, n),
-                          epoch, n)
+        vis = be.vis_reset_mark(vis, cand_ids, cand_scores > NEG_INF,
+                                epoch, n)
         buf_ids, buf_scores = [res_ids], [res_scores]
         for i in range(hop_caps):
             fresh, fscores, vis, cnt = expand(

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig, SearchConfig
-from .beam import _UNVISITED, LocalBackend, SearchIndex, make_searcher
+from .beam import _UNVISITED, ListBackend, LocalBackend, SearchIndex, \
+    make_searcher
 
 
 class ShardedBackend(LocalBackend):
@@ -107,6 +108,18 @@ class ShardedBackend(LocalBackend):
         return full[:cap]
 
 
+class ShardedListBackend(ListBackend, ShardedBackend):
+    """Row-sharded index access + the sorted visited-LIST representation.
+
+    The neighbor expansion is replicated after take_rows' psum, and the list
+    filter (beam.ListBackend.dedup_filter_mark) is pure compute over it — so
+    the visited state is simply replicated on every shard: no per-shard
+    visited buffer, no per-hop visited psum. Per-hop communication drops to
+    1 psum (row fetch) + 1 psum/all_gather (scoring); visited memory is
+    O(visited) replicated instead of O(n/S) sharded. MRO: visited methods
+    from ListBackend, data access from ShardedBackend."""
+
+
 def shard_index(mesh: Mesh, index: SearchIndex, axis: str = "mp"
                 ) -> SearchIndex:
     """Place a SearchIndex with tables (and item_ids) row-sharded over `axis`.
@@ -142,7 +155,9 @@ def make_distributed_searcher(mcfg: ModelConfig, scfg: SearchConfig,
     `batch` divisible by the axis size.
     """
     num_shards = mesh.shape[axis]
-    be = ShardedBackend(axis, num_shards)
+    use_list = scfg.vis_impl == "list" and scfg.hop_mode == "filtered"
+    be = (ShardedListBackend(axis, num_shards) if use_list
+          else ShardedBackend(axis, num_shards))
     core = make_searcher(mcfg, scfg, backend=be, semantics=semantics)
     if batch is not None:
         core = jax.vmap(core, in_axes=(None, None, None, 0, None))

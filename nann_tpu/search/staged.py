@@ -39,8 +39,7 @@ import numpy as np
 from ..config import ModelConfig, SearchConfig
 from ..ops.scorer_kernel import (fold_scorer, precompute_user,
                                  score_frontier_reference)
-from .beam import (NEG_INF, _UNVISITED, LocalBackend, _masked_topk,
-                   filter_expand)
+from .beam import NEG_INF, _masked_topk, default_backend, filter_expand
 
 
 def score_gathered(be, mcfg: ModelConfig, folded, k_proj, v,
@@ -77,7 +76,10 @@ def make_staged_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
     if scfg.hop_mode != "filtered":
         raise NotImplementedError("staged execution requires hop_mode="
                                   "'filtered'")
-    be = LocalBackend()
+    be = default_backend(scfg)
+    # the list-backend's vis shape grows per hop, so hop outputs can never
+    # alias the donated input buffer — skip donation there
+    donate_vis = donate_vis and scfg.vis_impl != "list"
     start = scfg.hnsw_start_level
     k_start_cap = scfg.top_k_per_level[start]
     k_final_cap = max(max(scfg.topk_eval), 1)
@@ -179,7 +181,8 @@ def make_staged_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         max_deg = max(v.shape[1] for v in index.neighbors.values())
         max_cand = max([k_start_cap, k_final_cap]
                        + list(scfg.top_k_per_level))
-        vis = jnp.full((B, n + max_cand * max_deg), _UNVISITED, jnp.uint8)
+        vis1 = be.vis_init(n, trash=max_cand * max_deg)
+        vis = jnp.broadcast_to(vis1, (B,) + vis1.shape)
 
         t = 1
         for level in range(start - 1, -1, -1):

@@ -42,6 +42,7 @@ def main():
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
     mcfg, scfg, params, state, sidx = build_setup(args.items)
+    scfg.vis_impl = "bytemap"  # probes decompose the byte-map representation
     rng = np.random.default_rng(1)
     userB = jnp.asarray(rng.standard_normal(
         (args.batch, mcfg.max_seq_length, mcfg.user_emb_dim)

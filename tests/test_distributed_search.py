@@ -1,6 +1,8 @@
 """Distributed (row-sharded) search must match the single-device search
 exactly — the virtual-device parity harness for the mp axis."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,8 +39,12 @@ def setup(tmp_path_factory):
     return mcfg, scfg, params, state, sidx, user
 
 
-def test_distributed_matches_local(setup):
+@pytest.mark.parametrize("vis_impl", ["list", "bytemap"])
+def test_distributed_matches_local(setup, vis_impl):
+    # "list" = replicated visited list (ShardedListBackend, no visited psum);
+    # "bytemap" = row-sharded visited buffer (ShardedBackend)
     mcfg, scfg, params, state, sidx, user = setup
+    scfg = dataclasses.replace(scfg, vis_impl=vis_impl)
     mesh = make_mesh(dp=1, mp=8)
     ltn = jnp.asarray(level_topn_default(scfg))
 
