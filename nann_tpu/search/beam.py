@@ -12,9 +12,13 @@ How each reference mechanism maps:
 
   BlazeXlaOp + 75 warmup buckets      -> static per-hop frontier caps inside
                                          the one program (masked, no buckets)
-  BitmapRefDifference (visited set)   -> epoch-stamped uint8 visited buffer +
-                                         sort-based in-frontier dedup; per-level
-                                         reset is an epoch bump, not a memset
+  BitmapRefDifference (visited set)   -> sorted visited-id LIST merged with the
+                                         frontier by one tagged-key sort
+                                         (ListBackend, the default — random
+                                         byte gather/scatter is the measured
+                                         TPU bottleneck); the epoch-stamped
+                                         uint8 byte-map remains as
+                                         vis_impl="bytemap"
   GroupGather (ragged neighbor fetch) -> dense fixed-degree gather
                                          [cands, max_degree] (self-padded rows)
   BlazeTopK / runtime level_topn      -> lax.top_k at the static cap + masking

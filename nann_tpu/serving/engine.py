@@ -300,6 +300,13 @@ class Engine:
             params, state, index = self._model
         out = self._fns[bucket](params, state, index,
                                 jnp.asarray(users), jnp.asarray(ltn0))
+        # start the D2H copies NOW so they overlap device compute; the
+        # completion thread's np.asarray otherwise pays a blocking host<->
+        # device round trip PER OUTPUT PER BATCH (~30 ms each over a relay
+        # link — measured as a hard ~16 batches/s completion ceiling that
+        # backlogged the engine even at light load)
+        for a in out[:2]:
+            a.copy_to_host_async()
         with self._active_lock:
             self._active_batches += len(batch)
         self._inflight.put((batch, out))  # async: device still computing

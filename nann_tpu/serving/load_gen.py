@@ -74,6 +74,11 @@ def run_load_test(engine: Engine, config: LoadGenConfig,
                for t in range(config.num_producers)]
     if verbose:
         engine.metrics.start_reporter(config.report_interval_s)
+    # meters are engine-lifetime cumulative; report THIS run's delta so
+    # repeated runs (calibrate-then-measure) don't inflate qps
+    count0 = engine.metrics.throughput.count
+    rejected0 = engine.metrics.rejected.count
+    failures0 = engine.metrics.failures.count
     t0 = time.monotonic()
     for t in threads:
         t.start()
@@ -90,10 +95,10 @@ def run_load_test(engine: Engine, config: LoadGenConfig,
     lat = engine.metrics.latency_us.snapshot()
     bs = engine.metrics.batch_size.snapshot()
     return {
-        "qps": engine.metrics.throughput.count / wall,
-        "total": engine.metrics.throughput.count,
-        "rejected": engine.metrics.rejected.count,
-        "failures": engine.metrics.failures.count,
+        "qps": (engine.metrics.throughput.count - count0) / wall,
+        "total": engine.metrics.throughput.count - count0,
+        "rejected": engine.metrics.rejected.count - rejected0,
+        "failures": engine.metrics.failures.count - failures0,
         "latency_p50_us": lat["p50"],
         "latency_p99_us": lat["p99"],
         "mean_batch": bs["mean"],

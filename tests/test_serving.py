@@ -165,11 +165,12 @@ def test_submit_rejects_bad_level_topn_shape(engine):
 
 
 def test_load_generator(engine):
-    failures_before = engine.metrics.failures.count
     res = run_load_test(engine, LoadGenConfig(duration_s=2.0, qps=200,
                                               num_producers=2), verbose=False)
     assert res["total"] > 50, res
-    assert res["failures"] == failures_before  # no new failures from the load
+    # run_load_test reports per-run deltas, so prior tests on the shared
+    # engine fixture don't leak in
+    assert res["failures"] == 0
     assert res["latency_p99_us"] > 0
 
 
