@@ -316,6 +316,7 @@ class ListBackend(LocalBackend):
         # tagged keys: visited ids -> 2*id (even), frontier ids -> 2*id+1
         # (odd); pads sort past every real key (requires n < 2^30, i.e.
         # catalogues up to ~1B items in int32)
+        assert n < 2**30, f"ListBackend tagged keys need n < 2^30, got {n}"
         k_pad_v = jnp.int32(2**31 - 2)   # even pad (visited-side)
         imax = jnp.int32(2**31 - 1)      # odd pad (frontier-side)
         key_vis = jnp.where(vis < n, vis * 2, k_pad_v)

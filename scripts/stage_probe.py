@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--items", type=int, default=200_000)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--vis", default="bytemap",
+                    choices=["bytemap", "list"])
     args = ap.parse_args()
 
     from bench import build_setup
@@ -42,7 +44,7 @@ def main():
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
     mcfg, scfg, params, state, sidx = build_setup(args.items)
-    scfg.vis_impl = "bytemap"  # probes decompose the byte-map representation
+    scfg.vis_impl = args.vis
     rng = np.random.default_rng(1)
     userB = jnp.asarray(rng.standard_normal(
         (args.batch, mcfg.max_seq_length, mcfg.user_emb_dim)
@@ -78,7 +80,11 @@ def main():
     max_deg = max(v.shape[1] for v in sidx.neighbors.values())
     max_cand = max([scfg.top_k_per_level[start],
                     max(max(scfg.topk_eval), 1)] + list(scfg.top_k_per_level))
-    vis = jnp.full((B, n + max_cand * max_deg), _UNVISITED, jnp.uint8)
+    if args.vis == "list":
+        from nann_tpu.search.beam import ListBackend
+        vis = jnp.full((B, 0), ListBackend.PAD, jnp.int32)
+    else:
+        vis = jnp.full((B, n + max_cand * max_deg), _UNVISITED, jnp.uint8)
 
     cand_ids, cand_scores = res_ids, res_scores
     t = 1
