@@ -117,6 +117,15 @@ class SearchConfig:
     #               (2*id+tag) — no random gather/scatter at all, memory
     #               O(visited). Identical results to "bytemap".
     vis_impl: str = "list"
+    # which expanded nodes get marked visited each hop:
+    #   "all"    = reference BitmapRefDifference semantics — every fresh node
+    #              the filter RETURNS is marked, including nodes the
+    #              frontier_cap truncation then drops without scoring (those
+    #              become permanently unreachable);
+    #   "scored" = mark only the <= frontier_cap nodes actually scored;
+    #              truncated-away nodes stay reachable through other parents
+    #              later. Also bounds the visited set by scored work.
+    mark_policy: str = "all"
 
     def validate(self) -> None:
         assert len(self.num_scoring_per_level) == self.hnsw_start_level + 1
@@ -125,6 +134,7 @@ class SearchConfig:
         assert self.topk_impl in ("exact", "approx"), self.topk_impl
         assert self.hop_mode in ("filtered", "wide"), self.hop_mode
         assert self.vis_impl in ("bytemap", "list"), self.vis_impl
+        assert self.mark_policy in ("all", "scored"), self.mark_policy
 
 
 @dataclasses.dataclass

@@ -89,6 +89,16 @@ def parse_opt(argv=None) -> argparse.Namespace:
                         "(threshold candidates; equal recall at ~12%% less "
                         "scored work); serving = the reference's exported-"
                         "graph loop, kept for contract parity")
+    p.add_argument("--vis-impl", default="list",
+                   choices=["list", "bytemap"],
+                   help="visited-set representation (list = sort-merged id "
+                        "list, the fast default; bytemap = the direct "
+                        "BitmapRefDifference analogue)")
+    p.add_argument("--mark-policy", default="all",
+                   choices=["all", "scored"],
+                   help="all (reference) = mark every fresh node incl. "
+                        "truncated-unscored ones; scored = only scored "
+                        "nodes, truncated ones stay reachable")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 scorer compute")
     return p.parse_args(argv)
@@ -122,7 +132,8 @@ def build_configs(args) -> Tuple[ModelConfig, TrainConfig, SearchConfig]:
         top_k_per_level=tuple(min(t, num_item) for t in args.top_k_per_level),
         topk_eval=tuple(min(t, num_item) for t in args.topk_eval),
         frontier_cap=args.frontier_cap,
-        semantics=args.search_semantics)
+        semantics=args.search_semantics,
+        vis_impl=args.vis_impl, mark_policy=args.mark_policy)
     return mcfg, tcfg, scfg
 
 

@@ -162,13 +162,15 @@ def _select_fresh(key: jnp.ndarray, imax, salt, f_cap: int, n: int,
         fresh_key = jnp.sort(key)[:f_cap]
     fresh_valid = fresh_key != imax
     fresh = jnp.where(fresh_valid, fresh_key ^ salt, n)
-    return fresh, fresh_valid
+    # largest selected key: mark_policy="scored" marks exactly key <= this
+    thr = jnp.max(jnp.where(fresh_valid, fresh_key, -1))
+    return fresh, fresh_valid, thr
 
 
 def filter_expand(be, neighbors_l: jnp.ndarray, vis: jnp.ndarray, epoch,
                   cand_ids: jnp.ndarray, cand_scores: jnp.ndarray,
                   f_cap: int, n: int, salt: jnp.ndarray,
-                  topk_impl: str = "exact",
+                  topk_impl: str = "exact", mark_policy: str = "all",
                   mark_ids: jnp.ndarray = None, mark_valid: jnp.ndarray = None
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """The filter half of one hop: neighbor expansion -> in-frontier dedup ->
@@ -186,7 +188,8 @@ def filter_expand(be, neighbors_l: jnp.ndarray, vis: jnp.ndarray, epoch,
     nb = be.take_rows(neighbors_l, cand_ids, n)
     nb = jnp.where(valid_cand[:, None], nb, sentinel).reshape(-1)
     f_cap = min(f_cap, nb.shape[0])
-    return be.dedup_filter_mark(vis, nb, epoch, n, salt, f_cap, topk_impl)
+    return be.dedup_filter_mark(vis, nb, epoch, n, salt, f_cap, topk_impl,
+                                mark_policy)
 
 
 class LocalBackend:
@@ -237,11 +240,10 @@ class LocalBackend:
 
     def dedup_filter_mark(self, vis: jnp.ndarray, nb: jnp.ndarray, epoch,
                           n: int, salt: jnp.ndarray, f_cap: int,
-                          topk_impl: str):
+                          topk_impl: str, mark_policy: str = "all"):
         """In-frontier dedup -> visited test -> mark -> compaction to f_cap
         over the flattened masked expansion `nb` (invalid entries = n).
         Returns (fresh [f_cap], fresh_valid [f_cap], vis, num_fresh)."""
-        sentinel = n
         nb_sorted = jnp.sort(nb)
         first = jnp.concatenate(
             [jnp.ones((1,), bool), nb_sorted[1:] != nb_sorted[:-1]])
@@ -249,16 +251,17 @@ class LocalBackend:
         keep = first & unvisited & (nb_sorted < n)
         num_fresh = jnp.sum(keep)
 
-        # mark EVERY fresh node visited (reference BitmapRefDifference marks
-        # all ids it returns); kept entries are unique (first-occurrence) and
-        # masked ones get distinct trash slots, so the scatter stays
-        # vectorized
-        vis = self.vis_mark_sorted(vis, _pad_trash(nb_sorted, keep, n),
-                                   epoch, n)
         imax = jnp.int32(2**31 - 1)
         key = jnp.where(keep, nb_sorted ^ salt, imax)
-        fresh, fresh_valid = _select_fresh(key, imax, salt, f_cap, n,
-                                           topk_impl)
+        fresh, fresh_valid, thr = _select_fresh(key, imax, salt, f_cap, n,
+                                                topk_impl)
+        # "all": mark EVERY fresh node (reference BitmapRefDifference marks
+        # all ids it returns); "scored": only the selected <= f_cap. Kept
+        # entries are unique (first-occurrence) and masked ones get distinct
+        # trash slots, so the scatter stays vectorized.
+        mark = keep if mark_policy == "all" else keep & (key <= thr)
+        vis = self.vis_mark_sorted(vis, _pad_trash(nb_sorted, mark, n),
+                                   epoch, n)
         return fresh, fresh_valid, vis, jnp.minimum(num_fresh, f_cap)
 
     def run_scorer(self, score_fn, emb: jnp.ndarray) -> jnp.ndarray:
@@ -312,7 +315,7 @@ class ListBackend(LocalBackend):
 
     def dedup_filter_mark(self, vis: jnp.ndarray, nb: jnp.ndarray, epoch,
                           n: int, salt: jnp.ndarray, f_cap: int,
-                          topk_impl: str):
+                          topk_impl: str, mark_policy: str = "all"):
         # tagged keys: visited ids -> 2*id (even), frontier ids -> 2*id+1
         # (odd); pads sort past every real key (requires n < 2^30, i.e.
         # catalogues up to ~1B items in int32)
@@ -331,13 +334,15 @@ class ListBackend(LocalBackend):
         num_fresh = jnp.sum(fresh_mask)
 
         ids = jax.lax.shift_right_logical(merged, 1)
-        # union: old visited entries + newly fresh frontier entries (visited
-        # frontier ids are already present as their even twin)
-        new_vis = jnp.where(real & (~is_nb | fresh_mask), ids,
-                            ListBackend.PAD)
         key = jnp.where(fresh_mask, ids ^ salt, imax)
-        fresh, fresh_valid = _select_fresh(key, imax, salt, f_cap, n,
-                                           topk_impl)
+        fresh, fresh_valid, thr = _select_fresh(key, imax, salt, f_cap, n,
+                                                topk_impl)
+        # union: old visited entries + newly-marked frontier entries (visited
+        # frontier ids are already present as their even twin). mark_policy
+        # "scored" adds only the selected <= f_cap fresh nodes.
+        marked = fresh_mask if mark_policy == "all" else \
+            fresh_mask & (key <= thr)
+        new_vis = jnp.where(real & (~is_nb | marked), ids, ListBackend.PAD)
         return fresh, fresh_valid, new_vis, jnp.minimum(num_fresh, f_cap)
 
 def default_backend(scfg: SearchConfig) -> LocalBackend:
@@ -450,7 +455,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
                          if n > f_cap else 0)
         fresh, fresh_valid, vis, num_fresh = filter_expand(
             be, index.neighbors[level], vis, epoch, cand_ids, cand_scores,
-            f_cap, n, salt, topk_impl=scfg.topk_impl)
+            f_cap, n, salt, topk_impl=scfg.topk_impl,
+            mark_policy=scfg.mark_policy)
 
         if _barrier:
             # fusion fence: hand the scorer a clean (ids, mask) boundary so

@@ -115,6 +115,7 @@ def make_staged_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
             return filter_expand(
                 be, neighbors_l, vis, epoch, cand_ids, cand_scores,
                 scfg.frontier_cap, n, salt, topk_impl=scfg.topk_impl,
+                mark_policy=scfg.mark_policy,
                 mark_ids=mark_ids, mark_valid=mark_valid)
 
         vm = jax.vmap(fn, in_axes=(None, 0, 0, 0, 0, 0, None))

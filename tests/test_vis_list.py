@@ -74,6 +74,33 @@ def test_staged_list_matches_fused_list():
     np.testing.assert_array_equal(np.asarray(fn_), np.asarray(sn))
 
 
+@pytest.mark.parametrize("semantics", ["eval", "serving"])
+def test_mark_scored_list_matches_bytemap(semantics):
+    # the "scored" mark policy must also be representation-independent
+    mcfg, scfg, params, state, sidx, users = _setup()
+    scfg = dataclasses.replace(scfg, semantics=semantics,
+                               mark_policy="scored")
+    ltn = jnp.asarray(level_topn_default(scfg))
+    bi, _, bn = _run(mcfg, dataclasses.replace(scfg, vis_impl="bytemap"),
+                     params, state, sidx, users, ltn)
+    li, _, ln = _run(mcfg, dataclasses.replace(scfg, vis_impl="list"),
+                     params, state, sidx, users, ltn)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(li))
+    np.testing.assert_array_equal(np.asarray(bn), np.asarray(ln))
+
+
+def test_mark_scored_no_duplicate_results():
+    # truncated-away nodes may be re-expanded later, but final results must
+    # still be unique items
+    mcfg, scfg, params, state, sidx, users = _setup()
+    scfg = dataclasses.replace(scfg, mark_policy="scored", frontier_cap=64)
+    ltn = jnp.asarray(level_topn_default(scfg))
+    items, _, _ = _run(mcfg, scfg, params, state, sidx, users, ltn)
+    for row in np.asarray(items):
+        row = row[row >= 0]
+        assert len(row) == len(set(row.tolist()))
+
+
 def test_wide_mode_falls_back_to_bytemap():
     # hop_mode="wide" needs random-access membership; the config pair must
     # still build and run (backend silently stays bytemap)
