@@ -48,7 +48,9 @@ from nann_tpu.search.beam import level_topn_default  # noqa: E402
 def build_setup(num_items: int, seed: int = 0, reorder: str = None):
     mcfg = ModelConfig(num_item=num_items, num_cate=1000, emb_dim=32,
                        max_seq_length=50, compute_dtype="bfloat16")
-    scfg = SearchConfig()  # reference defaults: levels (3,1,1), topk (400,200,100)
+    scfg = SearchConfig(  # reference defaults: levels (3,1,1), topk (400,200,100)
+        vis_impl=os.environ.get("NANN_BENCH_VIS", "list"),
+        mark_policy=os.environ.get("NANN_BENCH_MARK", "scored"))
     params, state = init_scorer(jax.random.PRNGKey(seed), mcfg)
 
     rng = np.random.default_rng(seed)

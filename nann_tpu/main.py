@@ -94,11 +94,12 @@ def parse_opt(argv=None) -> argparse.Namespace:
                    help="visited-set representation (list = sort-merged id "
                         "list, the fast default; bytemap = the direct "
                         "BitmapRefDifference analogue)")
-    p.add_argument("--mark-policy", default="all",
+    p.add_argument("--mark-policy", default="scored",
                    choices=["all", "scored"],
-                   help="all (reference) = mark every fresh node incl. "
-                        "truncated-unscored ones; scored = only scored "
-                        "nodes, truncated ones stay reachable")
+                   help="scored (default) = mark only scored nodes, "
+                        "truncated ones stay reachable (+20pp recall under "
+                        "a static frontier cap); all = literal reference op "
+                        "semantics incl. truncated-unscored nodes")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 scorer compute")
     return p.parse_args(argv)
