@@ -343,6 +343,13 @@ class ListBackend(LocalBackend):
         marked = fresh_mask if mark_policy == "all" else \
             fresh_mask & (key <= thr)
         new_vis = jnp.where(real & (~is_nb | marked), ids, ListBackend.PAD)
+        if mark_policy == "scored":
+            # at most f_cap ids were added, so the list compacts losslessly
+            # to |vis| + f_cap (reals sort before PAD) — one extra sort now,
+            # but every later hop's merge shrinks by the unmarked expansion
+            keep_cap = vis.shape[0] + f_cap
+            if new_vis.shape[0] > keep_cap:
+                new_vis = jnp.sort(new_vis)[:keep_cap]
         return fresh, fresh_valid, new_vis, jnp.minimum(num_fresh, f_cap)
 
 def default_backend(scfg: SearchConfig) -> LocalBackend:
