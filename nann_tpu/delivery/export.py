@@ -77,6 +77,9 @@ def export_model(export_dir: str, params: Params, state: State,
     with open(os.path.join(export_dir, "signature.json"), "w") as f:
         json.dump({
             "semantics": scfg.semantics,
+            # full search config so a serving host reproduces the exporter's
+            # budgets/caps/policies exactly (load via load_search_config)
+            "search_config": dataclasses.asdict(scfg),
             "inputs": {
                 "comm_seq": {"dtype": "float16",
                              "shape": [1, mcfg.max_seq_length * mcfg.user_emb_dim]},
@@ -124,6 +127,20 @@ def len_level_topn(scfg: SearchConfig) -> int:
         return (1 + (scfg.hnsw_start_level - 1)
                 + scfg.num_scoring_per_level[0] + 1)
     return 1 + scfg.hnsw_start_level + 1
+
+
+def load_search_config(export_dir: str) -> SearchConfig:
+    """The exporter's full SearchConfig from signature.json, so serving
+    reproduces its budgets/caps/policies; falls back to defaults for
+    pre-round-2 bundles that only recorded `semantics`."""
+    with open(os.path.join(export_dir, "signature.json")) as f:
+        sig = json.load(f)
+    if "search_config" in sig:
+        d = dict(sig["search_config"])
+        for k in ("num_scoring_per_level", "top_k_per_level", "topk_eval"):
+            d[k] = tuple(d[k])
+        return SearchConfig(**d)
+    return SearchConfig(semantics=sig.get("semantics", "eval"))
 
 
 def load_exported(export_dir: str, template_params: Params,

@@ -78,7 +78,10 @@ def verify_export(export_dir: str, scfg: Optional[SearchConfig] = None,
     from ..search import make_searcher
     from ..search.beam import level_topn_default
 
-    scfg = scfg or SearchConfig()
+    if scfg is None:
+        # prefer the exporter's own recorded config (signature.json)
+        from .export import load_search_config
+        scfg = load_search_config(export_dir)
     params, state, mcfg, sidx = load_serving_bundle(export_dir, scfg)
     # clamp the budget to the catalogue (tiny test exports)
     n = int(sidx.num_items)

@@ -65,3 +65,21 @@ def test_verify_export_passes(export_dir):
     report = verify_export(d, scfg, num_requests=5)
     assert report["requests_verified"] == 5
     assert report["num_items"] == 600
+
+
+def test_search_config_round_trips_through_bundle(export_dir):
+    # the exporter's full SearchConfig is recorded in signature.json so a
+    # serving host reproduces its budgets/caps/policies exactly
+    from nann_tpu.delivery.export import load_search_config
+    d, _mcfg, scfg, *_ = export_dir
+    loaded = load_search_config(d)
+    assert loaded == scfg
+
+
+def test_search_config_falls_back_for_old_bundles(tmp_path):
+    import json
+    (tmp_path / "signature.json").write_text(
+        json.dumps({"semantics": "serving"}))
+    from nann_tpu.delivery.export import load_search_config
+    loaded = load_search_config(str(tmp_path))
+    assert loaded.semantics == "serving"
