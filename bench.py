@@ -45,7 +45,8 @@ from nann_tpu.search import SearchIndex, make_searcher  # noqa: E402
 from nann_tpu.search.beam import level_topn_default  # noqa: E402
 
 
-def build_setup(num_items: int, seed: int = 0, reorder: str = None):
+def build_setup(num_items: int, seed: int = 0, reorder: str = None,
+                dtype=None):
     mcfg = ModelConfig(num_item=num_items, num_cate=1000, emb_dim=32,
                        max_seq_length=50, compute_dtype="bfloat16")
     scfg = SearchConfig(  # reference defaults: levels (3,1,1), topk (400,200,100)
@@ -69,7 +70,8 @@ def build_setup(num_items: int, seed: int = 0, reorder: str = None):
     art = load_index(cache_dir, start_level=scfg.hnsw_start_level,
                      max_degree=64)
     sidx = SearchIndex.from_artifacts(art, item_embs, item_ids,
-                                      dtype=jnp.bfloat16, reorder=reorder)
+                                      dtype=dtype or jnp.bfloat16,
+                                      reorder=reorder)
     return mcfg, scfg, params, state, sidx
 
 
@@ -90,6 +92,9 @@ def main():
                          "section into DIR (tracing parity, SURVEY §5.1)")
     ap.add_argument("--reorder", default=None, choices=[None, "bfs"],
                     help="relabel nodes for gather locality (index/reorder.py)")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "int8"],
+                    help="index embedding storage (int8 = packed symmetric "
+                         "per-row quantization, index/quantize.py)")
     ap.add_argument("--chained", type=int, default=0, metavar="N",
                     help="also measure device-true single-query latency by "
                          "chaining N searches inside one program (immune to "
@@ -100,8 +105,9 @@ def main():
         args.reps = 10
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
-    mcfg, scfg, params, state, sidx = build_setup(args.items,
-                                                  reorder=args.reorder)
+    mcfg, scfg, params, state, sidx = build_setup(
+        args.items, reorder=args.reorder,
+        dtype="int8" if args.dtype == "int8" else jnp.bfloat16)
 
     searcher = make_searcher(mcfg, scfg)
     search1 = jax.jit(searcher)

@@ -146,25 +146,34 @@ def _masked_topk(ids: jnp.ndarray, scores: jnp.ndarray, k_static: int,
 
 
 def _select_fresh(key: jnp.ndarray, imax, salt, f_cap: int, n: int,
-                  topk_impl: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  topk_impl: str
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Compaction to the scoring cap: kept (salted) keys to the front by
     value-sort. When unique fresh nodes exceed f_cap, selecting ascending ids
     would systematically favor low catalogue ids, so keys are an XOR-mixed
     bijection of the id (per-hop salt) — an unbiased pseudo-random
-    truncation; ids are recovered by the inverse XOR."""
+    truncation; ids are recovered by the inverse XOR.
+
+    Returns (fresh ids [f_cap], fresh_valid [f_cap], sel [key.shape]) where
+    sel marks EXACTLY the selected positions of `key` — mark_policy="scored"
+    marks this set, and it must equal the scored set even under approx_min_k
+    (a threshold would over-mark there and could strip a scored node's mark,
+    letting it be re-scored into a duplicate result)."""
     if topk_impl == "approx" and key.shape[0] > f_cap:
         # TPU-native partial reduce instead of a second full sort; f32
         # key rounding only perturbs which fresh nodes the (already
         # pseudo-random) truncation picks
         _kv, ki = jax.lax.approx_min_k(key.astype(jnp.float32), f_cap)
         fresh_key = jnp.take(key, ki)
+        fresh_valid = fresh_key != imax
+        sel = jnp.zeros(key.shape, bool).at[ki].set(fresh_valid)
     else:
         fresh_key = jnp.sort(key)[:f_cap]
-    fresh_valid = fresh_key != imax
+        fresh_valid = fresh_key != imax
+        thr = jnp.max(jnp.where(fresh_valid, fresh_key, -1))
+        sel = (key != imax) & (key <= thr)
     fresh = jnp.where(fresh_valid, fresh_key ^ salt, n)
-    # largest selected key: mark_policy="scored" marks exactly key <= this
-    thr = jnp.max(jnp.where(fresh_valid, fresh_key, -1))
-    return fresh, fresh_valid, thr
+    return fresh, fresh_valid, sel
 
 
 def filter_expand(be, neighbors_l: jnp.ndarray, vis: jnp.ndarray, epoch,
@@ -253,13 +262,13 @@ class LocalBackend:
 
         imax = jnp.int32(2**31 - 1)
         key = jnp.where(keep, nb_sorted ^ salt, imax)
-        fresh, fresh_valid, thr = _select_fresh(key, imax, salt, f_cap, n,
+        fresh, fresh_valid, sel = _select_fresh(key, imax, salt, f_cap, n,
                                                 topk_impl)
         # "all": mark EVERY fresh node (reference BitmapRefDifference marks
-        # all ids it returns); "scored": only the selected <= f_cap. Kept
+        # all ids it returns); "scored": exactly the selected <= f_cap. Kept
         # entries are unique (first-occurrence) and masked ones get distinct
         # trash slots, so the scatter stays vectorized.
-        mark = keep if mark_policy == "all" else keep & (key <= thr)
+        mark = keep if mark_policy == "all" else sel
         vis = self.vis_mark_sorted(vis, _pad_trash(nb_sorted, mark, n),
                                    epoch, n)
         return fresh, fresh_valid, vis, jnp.minimum(num_fresh, f_cap)
@@ -335,13 +344,12 @@ class ListBackend(LocalBackend):
 
         ids = jax.lax.shift_right_logical(merged, 1)
         key = jnp.where(fresh_mask, ids ^ salt, imax)
-        fresh, fresh_valid, thr = _select_fresh(key, imax, salt, f_cap, n,
+        fresh, fresh_valid, sel = _select_fresh(key, imax, salt, f_cap, n,
                                                 topk_impl)
         # union: old visited entries + newly-marked frontier entries (visited
         # frontier ids are already present as their even twin). mark_policy
-        # "scored" adds only the selected <= f_cap fresh nodes.
-        marked = fresh_mask if mark_policy == "all" else \
-            fresh_mask & (key <= thr)
+        # "scored" adds exactly the selected <= f_cap fresh nodes.
+        marked = fresh_mask if mark_policy == "all" else sel
         new_vis = jnp.where(real & (~is_nb | marked), ids, ListBackend.PAD)
         if mark_policy == "scored":
             # at most f_cap ids were added, so the list compacts losslessly

@@ -14,7 +14,9 @@ a compiler firewall: each hop is two separately-compiled XLA programs
           (matmuls and top-k, no scatters)
 
 chained by device-resident arrays with async dispatch — no host sync
-anywhere; the per-query visited buffer is donated from hop to hop.
+anywhere; with the byte-map visited backend the per-query visited buffer is
+donated from hop to hop (the list backend's buffer changes shape per hop,
+so donation is skipped there).
 
 This is intentionally NOT the reference's two-graph split (CPU custom-op
 graph + per-hop bucketed BlazeXlaOp with a host round trip per hop,

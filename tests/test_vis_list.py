@@ -89,11 +89,15 @@ def test_mark_scored_list_matches_bytemap(semantics):
     np.testing.assert_array_equal(np.asarray(bn), np.asarray(ln))
 
 
-def test_mark_scored_no_duplicate_results():
+@pytest.mark.parametrize("topk_impl", ["exact", "approx"])
+def test_mark_scored_no_duplicate_results(topk_impl):
     # truncated-away nodes may be re-expanded later, but final results must
-    # still be unique items
+    # still be unique items; under approx_min_k the marked set must equal
+    # the scored set exactly (a threshold over-marks and can strip a scored
+    # node's mark)
     mcfg, scfg, params, state, sidx, users = _setup()
-    scfg = dataclasses.replace(scfg, mark_policy="scored", frontier_cap=64)
+    scfg = dataclasses.replace(scfg, mark_policy="scored", frontier_cap=64,
+                               topk_impl=topk_impl)
     ltn = jnp.asarray(level_topn_default(scfg))
     items, _, _ = _run(mcfg, scfg, params, state, sidx, users, ltn)
     for row in np.asarray(items):
