@@ -78,8 +78,14 @@ def main():
     print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
-    for _ in range(args.steps):
+    for i in range(args.steps):
         state, metrics = step(state, batch, key)
+        if i and i % 2000 == 0:   # sustained-window progress (VERDICT #5)
+            jax.block_until_ready(metrics["loss"])
+            el = time.perf_counter() - t0
+            print(f"# [{i}/{args.steps}] {args.batch * i / el:.0f} "
+                  f"samples/s over {el/60:.1f} min", file=sys.stderr,
+                  flush=True)
     jax.block_until_ready(metrics["loss"])
     wall = time.perf_counter() - t0
     step_ms = wall / args.steps * 1e3
