@@ -31,8 +31,11 @@ def extract_item_embeddings(params: Params, state: State, mcfg: ModelConfig,
     cate_ids = np.asarray(item_features["cate_id"])
     n = len(item_ids)
 
+    # params/state must be jit ARGUMENTS, not closure captures — captured
+    # they become HLO constants, and a 4.2M-item embedding table inlined
+    # into the compile payload breaks remote-compile transports (HTTP 413)
     @jax.jit
-    def tower(ids, cates):
+    def tower(params, state, ids, cates):
         emb, _ = scorer.item_tower(params, state, mcfg, ids, cates,
                                    training=False)
         return emb
@@ -44,7 +47,7 @@ def extract_item_embeddings(params: Params, state: State, mcfg: ModelConfig,
         cates = np.zeros(batch_size, np.int32)
         ids[:end - start] = item_ids[start:end]
         cates[:end - start] = cate_ids[start:end]
-        emb = tower(jnp.asarray(ids), jnp.asarray(cates))
+        emb = tower(params, state, jnp.asarray(ids), jnp.asarray(cates))
         out[start:end] = np.asarray(emb[:end - start], np.float32)
     return item_ids, out
 
