@@ -51,7 +51,8 @@ def build_setup(num_items: int, seed: int = 0, reorder: str = None,
                        max_seq_length=50, compute_dtype="bfloat16")
     scfg = SearchConfig(  # reference defaults: levels (3,1,1), topk (400,200,100)
         vis_impl=os.environ.get("NANN_BENCH_VIS", "list"),
-        mark_policy=os.environ.get("NANN_BENCH_MARK", "scored"))
+        mark_policy=os.environ.get("NANN_BENCH_MARK", "scored"),
+        frontier_cap=int(os.environ.get("NANN_BENCH_FCAP", 4096)))
     params, state = init_scorer(jax.random.PRNGKey(seed), mcfg)
 
     rng = np.random.default_rng(seed)
