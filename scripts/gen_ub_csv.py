@@ -25,6 +25,13 @@ def main():
     ap.add_argument("--out", default="/tmp/ub100m.csv")
     ap.add_argument("--chunk", type=int, default=2_000_000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--structured", action="store_true",
+                    help="give each user 1-3 preferred categories (hash-"
+                         "derived) and draw their items Zipf-within-"
+                         "category — next-item prediction becomes learnable, "
+                         "so recall/parity at this scale is meaningful "
+                         "(the default global-Zipf stream is information-"
+                         "theoretically ~0%% recall at 4.2M items)")
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
@@ -38,8 +45,23 @@ def main():
             users = rng.integers(0, args.users, n)
             # Zipf-ish item popularity via power-transformed uniform
             u = rng.random(n)
-            items = (args.items * u ** 3.0).astype(np.int64)
-            cates = (items * 2654435761 % args.cates)  # fixed item->cate hash
+            if args.structured:
+                # user's preference set: 1-3 categories derived from the
+                # user id by multiplicative hashing (stable across chunks)
+                n_pref = 1 + (users * 40503 % 3)
+                which = rng.integers(0, 3, n) % n_pref
+                cates = ((users + 1) * (2654435761 + which * 40503641)
+                         % args.cates)
+                # Zipf-within-category over the category's contiguous item
+                # block (item -> cate must be a pure function of the item id
+                # so the converter's cate column stays consistent)
+                block = args.items // args.cates
+                within = (block * u ** 3.0).astype(np.int64)
+                items = cates * block + within
+                cates = items // block      # exact inverse of the layout
+            else:
+                items = (args.items * u ** 3.0).astype(np.int64)
+                cates = (items * 2654435761 % args.cates)  # item->cate hash
             beh = behaviors[rng.integers(0, 4, n)]
             ts = rng.integers(1_511_544_000, 1_512_316_799, n)  # UB window
             import pandas as pd
