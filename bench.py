@@ -81,7 +81,10 @@ def main():
     ap.add_argument("--items", type=int,
                     default=int(os.environ.get("NANN_BENCH_ITEMS", 200_000)))
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=150,
+                    help="pipelined timing reps; the per-dispatch relay "
+                         "overhead (~0.7 ms) amortizes over the window, so "
+                         "more reps converge on steady-state device qps")
     ap.add_argument("--quick", action="store_true",
                     help="small corpus / few reps (smoke run)")
     ap.add_argument("--sweep", action="store_true",
@@ -90,7 +93,12 @@ def main():
                     help="also measure recall@100 vs the brute-force oracle")
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of the measured "
-                         "section into DIR (tracing parity, SURVEY §5.1)")
+                         "section into DIR (tracing parity, SURVEY §5.1; "
+                         "needs a directly-attached TPU)")
+    ap.add_argument("--cost", action="store_true",
+                    help="report the XLA cost analysis of the batched "
+                         "program (FLOPs, HBM bytes, kernel census) — the "
+                         "relay-safe profiling path (utils/trace.py)")
     ap.add_argument("--reorder", default=None, choices=[None, "bfs"],
                     help="relabel nodes for gather locality (index/reorder.py)")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "int8"],
@@ -193,6 +201,17 @@ def main():
         extras["device_latency_ms_per_query"] = round(dev_ms, 3)
         print(f"# chained device latency: {dev_ms:.3f} ms/query",
               file=sys.stderr)
+
+    if args.cost:
+        from nann_tpu.utils.trace import compiled_cost
+        ca = compiled_cost(searchB, params, state, sidx, userB, ltn)
+        extras["xla_flops_per_batch"] = ca.get("flops")
+        extras["xla_bytes_per_batch"] = ca.get("bytes_accessed")
+        extras["xla_entry_ops"] = ca.get("entry_ops")
+        if ca.get("bytes_accessed") and qps:
+            extras["effective_hbm_gbps"] = round(
+                ca["bytes_accessed"] * (qps / args.batch) / 1e9, 1)
+        print(f"# cost: {ca}", file=sys.stderr)
 
     if args.sweep:
         for b in (4, 32, 64):

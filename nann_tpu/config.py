@@ -94,7 +94,10 @@ class SearchConfig:
     #              it to a FULL SORT on TPU;
     #   "approx" = lax.approx_max_k — the TPU-native partial-reduce
     #              (recall_target 0.95 per level; the merge/final top-k
-    #              stays exact), measured-equal end recall at lower cost.
+    #              stays exact), measured-equal end recall at lower cost;
+    #   "topk"   = lax.top_k partial selection for the fresh-node
+    #              compaction only (exact results; measured to see whether
+    #              XLA's TopK beats the full sort at f_cap-of-expansion).
     topk_impl: str = "exact"
     # per-hop structure:
     #   "filtered" = reference semantics: sort-based dedup + visited filter
@@ -137,7 +140,7 @@ class SearchConfig:
         assert len(self.num_scoring_per_level) == self.hnsw_start_level + 1
         assert len(self.top_k_per_level) == self.hnsw_start_level + 1
         assert self.num_scoring_per_level[self.hnsw_start_level] == 1
-        assert self.topk_impl in ("exact", "approx"), self.topk_impl
+        assert self.topk_impl in ("exact", "approx", "topk"), self.topk_impl
         assert self.hop_mode in ("filtered", "wide"), self.hop_mode
         assert self.vis_impl in ("bytemap", "list"), self.vis_impl
         assert self.mark_policy in ("all", "scored"), self.mark_policy

@@ -99,12 +99,14 @@ def build_hnsw(embeddings: np.ndarray, M: int = 32, ef_construction: int = 200,
 
 def build_and_save_index(embeddings: np.ndarray, start_level: int,
                          num_neighbors: int, output_dir: str,
-                         ef_construction: int = 200, seed: int = 42) -> None:
+                         ef_construction: int = 200, seed: int = 42,
+                         num_threads: int = 0) -> None:
     """Build + export in the reference artifact contract
     (build_hnsw_index.py:33-67): CSR neighbor arrays for levels below
     `start_level`, and enter_points = nodes with level > start_level."""
     os.makedirs(output_dir, exist_ok=True)
-    levels, csr = build_hnsw(embeddings, num_neighbors, ef_construction, seed)
+    levels, csr = build_hnsw(embeddings, num_neighbors, ef_construction, seed,
+                             num_threads=num_threads)
 
     # Reference semantics (build_hnsw_index.py:45): faiss's hnsw.levels are
     # 1-based level counts, so `levels > start_level` there selects nodes with

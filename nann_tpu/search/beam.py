@@ -167,6 +167,14 @@ def _select_fresh(key: jnp.ndarray, imax, salt, f_cap: int, n: int,
         fresh_key = jnp.take(key, ki)
         fresh_valid = fresh_key != imax
         sel = jnp.zeros(key.shape, bool).at[ki].set(fresh_valid)
+    elif topk_impl == "topk" and key.shape[0] > f_cap:
+        # partial selection via TopK on negated keys (exact: real keys are
+        # an XOR bijection of unique ids, so they are distinct and the
+        # threshold rule reproduces the selected set precisely)
+        fresh_key = -jax.lax.top_k(-key, f_cap)[0]
+        fresh_valid = fresh_key != imax
+        thr = jnp.max(jnp.where(fresh_valid, fresh_key, -1))
+        sel = (key != imax) & (key <= thr)
     else:
         fresh_key = jnp.sort(key)[:f_cap]
         fresh_valid = fresh_key != imax
@@ -348,16 +356,18 @@ class ListBackend(LocalBackend):
                                                 topk_impl)
         # union: old visited entries + newly-marked frontier entries (visited
         # frontier ids are already present as their even twin). mark_policy
-        # "scored" adds exactly the selected <= f_cap fresh nodes.
-        marked = fresh_mask if mark_policy == "all" else sel
-        new_vis = jnp.where(real & (~is_nb | marked), ids, ListBackend.PAD)
+        # "scored" adds exactly the selected <= f_cap fresh nodes — and those
+        # are exactly the `fresh` array, already compact, so the new list is
+        # a CONCAT, not a sort: the list is unordered between hops (the next
+        # merge re-sorts), so appending [vis | fresh] yields the same visited
+        # SET as compact-sorting the marked merge at one full-length sort
+        # less per hop (2 sorts/hop instead of 3).
         if mark_policy == "scored":
-            # at most f_cap ids were added, so the list compacts losslessly
-            # to |vis| + f_cap (reals sort before PAD) — one extra sort now,
-            # but every later hop's merge shrinks by the unmarked expansion
-            keep_cap = vis.shape[0] + f_cap
-            if new_vis.shape[0] > keep_cap:
-                new_vis = jnp.sort(new_vis)[:keep_cap]
+            new_vis = jnp.concatenate(
+                [vis, jnp.where(fresh_valid, fresh, ListBackend.PAD)])
+        else:
+            new_vis = jnp.where(real & (~is_nb | fresh_mask), ids,
+                                ListBackend.PAD)
         return fresh, fresh_valid, new_vis, jnp.minimum(num_fresh, f_cap)
 
 def default_backend(scfg: SearchConfig) -> LocalBackend:

@@ -77,6 +77,8 @@ def main():
             kw["use_pallas_scorer"] = True
         elif name == "approx":
             cfg = dataclasses.replace(scfg, topk_impl="approx")
+        elif name == "topk":
+            cfg = dataclasses.replace(scfg, topk_impl="topk")
         elif name == "wide":
             cfg = dataclasses.replace(scfg, hop_mode="wide")
         elif name == "wide_approx":

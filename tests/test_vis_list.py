@@ -89,7 +89,21 @@ def test_mark_scored_list_matches_bytemap(semantics):
     np.testing.assert_array_equal(np.asarray(bn), np.asarray(ln))
 
 
-@pytest.mark.parametrize("topk_impl", ["exact", "approx"])
+def test_topk_impl_topk_bitexact_vs_exact():
+    # "topk" replaces the fresh-compaction full sort with lax.top_k on
+    # negated keys — an EXACT partial selection (keys are an XOR bijection
+    # of unique ids), so results must match topk_impl="exact" bit-for-bit
+    mcfg, scfg, params, state, sidx, users = _setup()
+    scfg = dataclasses.replace(scfg, mark_policy="scored", frontier_cap=64)
+    ltn = jnp.asarray(level_topn_default(scfg))
+    ei, es, en = _run(mcfg, scfg, params, state, sidx, users, ltn)
+    ti, ts, tn = _run(mcfg, dataclasses.replace(scfg, topk_impl="topk"),
+                      params, state, sidx, users, ltn)
+    np.testing.assert_array_equal(np.asarray(ei), np.asarray(ti))
+    np.testing.assert_array_equal(np.asarray(en), np.asarray(tn))
+
+
+@pytest.mark.parametrize("topk_impl", ["exact", "approx", "topk"])
 def test_mark_scored_no_duplicate_results(topk_impl):
     # truncated-away nodes may be re-expanded later, but final results must
     # still be unique items; under approx_min_k the marked set must equal
