@@ -151,13 +151,12 @@ def main():
     jax.block_until_ready(search1(params, state, sidx, user1, ltn))
     host_sync_ms = (time.perf_counter() - sync0) * 1e3
 
+    # the pipelined timing discipline lives in utils/trace.py (shared with
+    # the scripts/ probes — one copy, no drift)
+    from nann_tpu.utils.trace import timed as _timed
+
     def pipelined_ms(fn, *fargs, reps=args.reps):
-        jax.block_until_ready(fn(*fargs))
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            r = fn(*fargs)
-        jax.block_until_ready(r)
-        return (time.perf_counter() - t0) / reps * 1e3
+        return _timed(fn, *fargs, reps=reps)
 
     if args.profile:
         with jax.profiler.trace(args.profile):
@@ -205,9 +204,13 @@ def main():
     if args.cost:
         from nann_tpu.utils.trace import compiled_cost
         ca = compiled_cost(searchB, params, state, sidx, userB, ltn)
-        extras["xla_flops_per_batch"] = ca.get("flops")
-        extras["xla_bytes_per_batch"] = ca.get("bytes_accessed")
-        extras["xla_entry_ops"] = ca.get("entry_ops")
+        # compiled_cost omits keys the backend doesn't report (never NaN —
+        # json.dumps would break the one-line driver contract)
+        for k_src, k_dst in (("flops", "xla_flops_per_batch"),
+                             ("bytes_accessed", "xla_bytes_per_batch"),
+                             ("entry_ops", "xla_entry_ops")):
+            if ca.get(k_src) is not None:
+                extras[k_dst] = ca[k_src]
         if ca.get("bytes_accessed") and qps:
             extras["effective_hbm_gbps"] = round(
                 ca["bytes_accessed"] * (qps / args.batch) / 1e9, 1)

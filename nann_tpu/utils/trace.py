@@ -22,11 +22,10 @@ jax.profiler remains available on directly-attached TPUs via
 
 from __future__ import annotations
 
+import math
 import re
 import time
 from typing import Any, Callable, Dict
-
-import jax
 
 
 def compiled_cost(fn: Callable, *args, **kwargs) -> Dict[str, Any]:
@@ -43,10 +42,15 @@ def compiled_cost(fn: Callable, *args, **kwargs) -> Dict[str, Any]:
         ca = comp.cost_analysis()
         if isinstance(ca, list):  # one entry per partition
             ca = ca[0]
-        out["flops"] = float(ca.get("flops", float("nan")))
-        out["bytes_accessed"] = float(ca.get("bytes accessed", float("nan")))
-        out["output_bytes"] = float(
-            ca.get("bytes accessed output", float("nan")))
+        # keys a backend doesn't report are OMITTED (never NaN: NaN is
+        # truthy, flows through `if rep.get(...)` guards, and json.dumps
+        # would emit invalid JSON in bench.py's one-line driver contract)
+        for key, name in (("flops", "flops"),
+                          ("bytes accessed", "bytes_accessed"),
+                          ("bytes accessed output", "output_bytes")):
+            v = ca.get(key)
+            if v is not None and math.isfinite(float(v)):
+                out[name] = float(v)
     except Exception as e:  # pragma: no cover - backend-specific
         out["cost_analysis_error"] = str(e)
     try:
@@ -67,6 +71,7 @@ def timed(fn: Callable, *args, reps: int = 30, **kwargs) -> float:
     through the CI relay) rather than the program; pipelining dispatches
     back-to-back so wall/reps converges to device time per call.
     """
+    import jax  # lazy: keep nann_tpu.utils importable without jax init
     jax.block_until_ready(fn(*args, **kwargs))
     t0 = time.perf_counter()
     r = None

@@ -31,6 +31,13 @@ def main():
     if os.path.exists(os.path.join(out, "enter_points.npy")):
         print(f"already built: {out}")
         return
+    if args.ef != 100:
+        # the bench cache key does NOT encode ef (bench.py assumes ef=100),
+        # so a non-default graph here would silently change every later
+        # bench.py run at this item count — make that loud and traceable
+        print(f"WARNING: ef={args.ef} != bench.py's assumed 100; bench runs "
+              f"at --items {args.items} will use THIS graph. Recorded in "
+              f"{out}/build_params.json.", file=sys.stderr)
 
     rng = np.random.default_rng(args.seed)
     # must match bench.build_setup: [n, item_emb_dim=64] standard normal
@@ -42,6 +49,11 @@ def main():
     build_and_save_index(embs, start_level=2, num_neighbors=32,
                          output_dir=out, ef_construction=args.ef,
                          seed=args.seed, num_threads=args.threads)
+    import json
+    with open(os.path.join(out, "build_params.json"), "w") as f:
+        json.dump({"items": args.items, "seed": args.seed, "ef": args.ef,
+                   "threads": args.threads,
+                   "build_seconds": round(time.time() - t0, 1)}, f)
     print(f"build: {time.time() - t0:.0f}s -> {out}", flush=True)
 
 

@@ -100,6 +100,7 @@ def test_topk_impl_topk_bitexact_vs_exact():
     ti, ts, tn = _run(mcfg, dataclasses.replace(scfg, topk_impl="topk"),
                       params, state, sidx, users, ltn)
     np.testing.assert_array_equal(np.asarray(ei), np.asarray(ti))
+    np.testing.assert_array_equal(np.asarray(es), np.asarray(ts))
     np.testing.assert_array_equal(np.asarray(en), np.asarray(tn))
 
 
