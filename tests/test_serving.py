@@ -222,7 +222,9 @@ def test_runmeta_record_and_replay(engine_setup, tmp_path):
         assert rec["user_seq_emb"].shape == (6, 8, 16)
         assert rec["latency_us"].min() > 0
 
-        res = run_load_test(eng, LoadGenConfig(duration_s=1.0, qps=100,
+        # 2 s window: under CPU contention (parallel index builds in CI) a
+        # 1 s window completed as few as 5 requests and flaked the >10 bar
+        res = run_load_test(eng, LoadGenConfig(duration_s=2.0, qps=100,
                                                num_producers=1,
                                                replay_path=path),
                             verbose=False)
