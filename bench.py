@@ -216,8 +216,20 @@ def main():
                 ca["bytes_accessed"] * (qps / args.batch) / 1e9, 1)
         print(f"# cost: {ca}", file=sys.stderr)
 
+    if not args.quick and args.batch != 64:
+        # the throughput-optimal operating point (batch-16 stays the headline
+        # `value` for baseline comparability; the reference bench harness is
+        # likewise unbounded-batch throughput-oriented, gen_benchmark_conf.py)
+        user64 = jnp.asarray(rng.standard_normal(
+            (64, mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32))
+        f64 = jax.jit(jax.vmap(searcher, in_axes=(None, None, None, 0, None)))
+        t_ms = pipelined_ms(f64, params, state, sidx, user64, ltn,
+                            reps=max(args.reps // 2, 5))
+        extras["qps_at_batch_64"] = round(64 / t_ms * 1e3, 1)
+        print(f"# batch-64 qps: {extras['qps_at_batch_64']}", file=sys.stderr)
+
     if args.sweep:
-        for b in (4, 32, 64):
+        for b in (4, 32):
             userS = jnp.asarray(rng.standard_normal(
                 (b, mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32))
             fS = jax.jit(jax.vmap(searcher,

@@ -1,0 +1,58 @@
+#!/usr/bin/env bash
+# Structured-corpus run at reference scale: the at-scale recall/parity proof.
+#
+# The plain synthetic UserBehavior stream (global Zipf, no per-user structure)
+# makes next-item prediction information-theoretically ~0% at 4.2M items, so
+# round 2's first at-scale pipeline run could only prove mechanics/throughput.
+# gen_ub_csv.py --structured gives each user 1-3 hash-derived preferred
+# categories with Zipf-within-category items, so recall at 4.2M items is
+# learnable and the reference's north-star metric (recall parity vs the
+# brute-force oracle, NANN_impls/main.py:144-237) is meaningful at scale.
+#
+# Stages (gen + convert are expected to have run already; see below):
+#   train (packed 87M-sample corpus, TPU) -> extract 4.2M embeddings ->
+#   native HNSW build -> parity (graph recall / oracle recall)
+#
+# Usage: bash scripts/run_structured_scale.sh [max_steps] [ef_construction]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+STEPS=${1:-30000}
+EF=${2:-100}
+ROOT=runs/ub_structured
+DATA="$ROOT/data"
+OUT="$ROOT/out"
+mkdir -p "$OUT"
+
+if [ ! -f "$DATA/ub_meta.json" ]; then
+  echo "corpus missing — generating (gen_ub_csv --structured + packed convert)"
+  python scripts/gen_ub_csv.py --rows 100000000 --structured \
+    --out "$ROOT/UserBehavior.csv"
+  python - <<PY
+from nann_tpu.data.user_behavior import convert_user_behavior
+convert_user_behavior("$ROOT/UserBehavior.csv", "$DATA", packed=True)
+PY
+fi
+
+COMMON=(--dataset-dir "$DATA" --output-root "$OUT")
+
+echo "=== train (max_steps=$STEPS) $(date -u +%H:%M:%S)"
+python -m nann_tpu.main --job-type train "${COMMON[@]}" \
+  --max-steps "$STEPS" --save-freq 10000 --print-freq 200
+
+echo "=== extract_feature $(date -u +%H:%M:%S)"
+python -m nann_tpu.main --job-type extract_feature "${COMMON[@]}"
+
+echo "=== build_index (ef=$EF) $(date -u +%H:%M:%S)"
+python -m nann_tpu.main --job-type build_index "${COMMON[@]}" \
+  --ef-construction "$EF"
+
+echo "=== parity $(date -u +%H:%M:%S)"
+python -m nann_tpu.main --job-type parity "${COMMON[@]}" \
+  --num-test-batch 4096
+
+echo "=== export + verify $(date -u +%H:%M:%S)"
+python -m nann_tpu.main --job-type export "${COMMON[@]}"
+python -m nann_tpu.main --job-type verify_export "${COMMON[@]}"
+
+echo "STRUCTURED_SCALE_DONE $(date -u +%H:%M:%S)"
