@@ -222,13 +222,15 @@ def test_runmeta_record_and_replay(engine_setup, tmp_path):
         assert rec["user_seq_emb"].shape == (6, 8, 16)
         assert rec["latency_us"].min() > 0
 
-        # 2 s window: under CPU contention (parallel index builds in CI) a
-        # 1 s window completed as few as 5 requests and flaked the >10 bar
+        # The assertion is structural (replay completes without failures),
+        # not a throughput bar: wall-time windows flaked twice under CI CPU
+        # contention (5 completions at 1 s, then 2 at 2 s with a parallel
+        # training run) and throughput is load_gen's own tests' concern.
         res = run_load_test(eng, LoadGenConfig(duration_s=2.0, qps=100,
                                                num_producers=1,
                                                replay_path=path),
                             verbose=False)
-        assert res["total"] > 10
+        assert res["total"] >= 1
         assert res["failures"] == 0
     finally:
         eng.shutdown()
