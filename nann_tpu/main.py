@@ -83,6 +83,10 @@ def parse_opt(argv=None) -> argparse.Namespace:
     p.add_argument("--hnsw-num-neighbors", type=int, default=32)
     p.add_argument("--ef-construction", type=int, default=200)
     p.add_argument("--search-batch", type=int, default=16)
+    p.add_argument("--batch-buckets", type=int, nargs="+", default=None,
+                   help="engine batch-bucket ladder for serve/serve_bench "
+                        "(default: EngineConfig ladder up to the chip's "
+                        "measured operating point, 1 4 16 64 128)")
     p.add_argument("--search-semantics", default="eval",
                    choices=["serving", "eval"],
                    help="eval (default) = the reference test-job algorithm "
@@ -368,8 +372,10 @@ def job_serve_bench(args, mcfg, tcfg, scfg, paths):
 
     state = _restore(mcfg, tcfg, paths)
     sidx = _load_search_index(args, mcfg, scfg, paths)
+    buckets = tuple(args.batch_buckets) if args.batch_buckets else \
+        EngineConfig.batch_buckets
     engine = Engine(mcfg, scfg, state.params, state.bn_state, sidx,
-                    EngineConfig(batch_buckets=(1, 4, args.search_batch)))
+                    EngineConfig(batch_buckets=buckets))
     # bench conf JSON (gen_benchmark_conf.py parity): LoadGenConfig fields
     lg = LoadGenConfig(duration_s=10.0, qps=-1)
     conf_path = os.path.join(args.output_root, "benchmark_conf.json")
@@ -394,8 +400,10 @@ def job_serve(args, mcfg, tcfg, scfg, paths):
     from .serving.selector import ModelReloader
 
     params, state, mcfg, sidx = load_serving_bundle(paths.export_dir, scfg)
+    buckets = tuple(args.batch_buckets) if args.batch_buckets else \
+        EngineConfig.batch_buckets
     engine = Engine(mcfg, scfg, params, state, sidx,
-                    EngineConfig(batch_buckets=(1, 4, args.search_batch)))
+                    EngineConfig(batch_buckets=buckets))
     reloader = ModelReloader(engine, paths.export_dir, scfg)
     reloader.start()
     server = NannServer(engine, port=args.port)

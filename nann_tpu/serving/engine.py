@@ -53,7 +53,10 @@ class RequestRejected(Exception):
 
 @dataclasses.dataclass
 class EngineConfig:
-    batch_buckets: Sequence[int] = (1, 2, 4, 8, 16)
+    batch_buckets: Sequence[int] = (1, 4, 16, 64, 128)
+    # default ladder reaches the chip's measured operating point: program-level
+    # qps keeps rising through batch 64-128 (docs/DESIGN.md forensics III), so
+    # serving below 64 left ~12% of throughput on the floor
     wait_ms: float = 5.0              # micro-batch window (opt_default.conf wait_ms)
     max_queue: int = 256              # reject beyond this (max_queue_size)
     warmup: bool = True
@@ -309,11 +312,14 @@ class Engine:
             a.copy_to_host_async()
         with self._active_lock:
             self._active_batches += len(batch)
-        self._inflight.put((batch, out))  # async: device still computing
+        # async: device still computing; dispatch timestamp feeds the
+        # per-batch device-time estimate in the completion thread
+        self._inflight.put((batch, out, time.perf_counter()))
         self.metrics.batch_size.update(len(batch))
         self._current_batch = []
 
     def _complete_loop(self) -> None:
+        last_drain_end = 0.0   # completer-thread only
         while not self._stop.is_set():
             try:
                 pending = [self._inflight.get(timeout=0.05)]
@@ -328,9 +334,9 @@ class Engine:
                 except queue.Empty:
                     break
             try:
-                jax.block_until_ready([out for _b, out in pending])
+                jax.block_until_ready([out for _b, out, _t in pending])
             except Exception as e:  # noqa: BLE001 — fail all drained batches
-                for batch, _out in pending:
+                for batch, _out, _t in pending:
                     self.metrics.failures.mark(len(batch))
                     for r in batch:
                         if not r.future.done():
@@ -338,7 +344,18 @@ class Engine:
                     with self._active_lock:
                         self._active_batches -= len(batch)
                 continue
-            for batch, out in pending:
+            # per-batch device time: the chip ran [drain start, sync done]
+            # back-to-back on these batches, where drain start is the later of
+            # the previous drain's end and this drain's first dispatch — the
+            # one host sync per drain amortizes over every batch in it, so the
+            # estimate tracks chip time, not the tunnel RTT (metrics.device_us)
+            t_end = time.perf_counter()
+            t_start = max(last_drain_end, min(t for _b, _o, t in pending))
+            last_drain_end = t_end
+            per_batch_us = (t_end - t_start) / len(pending) * 1e6
+            for _b, _o, _t in pending:
+                self.metrics.device_us.update(per_batch_us)
+            for batch, out, _t in pending:
                 try:
                     items = np.asarray(out[0])
                     scores = np.asarray(out[1])

@@ -94,6 +94,7 @@ def run_load_test(engine: Engine, config: LoadGenConfig,
 
     lat = engine.metrics.latency_us.snapshot()
     bs = engine.metrics.batch_size.snapshot()
+    dev = engine.metrics.device_us.snapshot()
     return {
         "qps": (engine.metrics.throughput.count - count0) / wall,
         "total": engine.metrics.throughput.count - count0,
@@ -101,6 +102,10 @@ def run_load_test(engine: Engine, config: LoadGenConfig,
         "failures": engine.metrics.failures.count - failures0,
         "latency_p50_us": lat["p50"],
         "latency_p99_us": lat["p99"],
+        # transport-independent per-batch device time (metrics.device_us):
+        # regression-sensitive where request wall time is relay-dominated
+        "device_p50_us": dev["p50"],
+        "device_p99_us": dev["p99"],
         "mean_batch": bs["mean"],
         "duration_s": wall,
     }

@@ -71,13 +71,22 @@ class MetricsRegistry:
         self.rejected = Meter()
         self.latency_us = Histogram()
         self.batch_size = Histogram()
+        # transport-independent per-batch device time: chip-busy wall between
+        # drain boundaries divided over the batches drained, so the relay
+        # round-trip is paid once per drain instead of once per sample —
+        # regression-sensitive where latency_us (request wall time) is
+        # dominated by ~30 ms tunnel jitter
+        self.device_us = Histogram()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
     def report_lines(self) -> List[str]:
         lat = self.latency_us.snapshot()
         bs = self.batch_size.snapshot()
+        dev = self.device_us.snapshot()
         return [
+            f"[{self.name}] device_us/batch: p50={dev['p50']:.0f} "
+            f"p99={dev['p99']:.0f}",
             f"[{self.name}] throughput: {self.throughput.mean_rate:.1f}/s "
             f"(total {self.throughput.count})",
             f"[{self.name}] latency_us: p50={lat['p50']:.0f} "
