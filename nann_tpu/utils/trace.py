@@ -64,6 +64,106 @@ def compiled_cost(fn: Callable, *args, **kwargs) -> Dict[str, Any]:
     return out
 
 
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
+    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8,
+}
+_SHAPE_RE = re.compile(r"\b([a-z]+\d*)\[([0-9,]*)\]")
+_DEF_RE = re.compile(r"^\s+(?:ROOT )?(%?[\w.-]+) = (.*?) ([\w-]+)\((.*)",
+                     re.M)
+
+
+def _shape_bytes(type_text: str) -> int:
+    """Total bytes of an HLO type string (handles tuples by summing)."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(type_text):
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def per_op_bytes(fn: Callable, *args, top: int = 15, **kwargs) -> Dict[str, Any]:
+    """Per-instruction HBM byte attribution from the compiled HLO text.
+
+    XLA's cost_analysis() reports bytes at program granularity only; this
+    walks the post-fusion HLO and charges each top-level instruction its
+    result bytes + operand bytes (operands looked up from their defining
+    instruction anywhere in the module). Instructions inside `while` bodies
+    are attributed separately under the body computation's name — multiply
+    by the trip count (static hop count for the search program) to get
+    program totals.
+
+    Charging a whole operand over-counts gather-style access (a fusion that
+    gathers 4k rows from a 200k-row table did not read the table); entries
+    where one operand exceeds 8x the result are tagged gatherish=True so the
+    over-count is visible rather than silent. That mirrors the conservative
+    convention XLA's own HloCostAnalysis uses for operand bytes, so the
+    per-op numbers decompose the same census bench.py --cost reports.
+
+    Returns {computation_name: [{op, opcode, result_mb, operand_mb,
+    total_mb, gatherish}, ...]} for ENTRY and every while-body computation,
+    each list sorted by total bytes, truncated to `top`.
+    """
+    comp = fn.lower(*args, **kwargs).compile()
+    txt = comp.as_text()
+
+    # name -> result bytes for every defined instruction in the module
+    defs: Dict[str, int] = {}
+    for name, rtype, _opcode, _ops in _DEF_RE.findall(txt):
+        defs[name.lstrip("%")] = _shape_bytes(rtype)
+    # computation parameters appear as `name = TYPE parameter(K)` defs too
+
+    # split into computations
+    comps: Dict[str, str] = {}
+    cur_name, cur_lines = None, []
+    for line in txt.splitlines():
+        m = re.match(r"^(ENTRY )?%?([\w.-]+)(?:\.clone)? \(.*\) -> ", line)
+        if m and line.rstrip().endswith("{"):
+            cur_name = ("ENTRY" if m.group(1) else m.group(2))
+            cur_lines = []
+            comps[cur_name] = cur_lines  # type: ignore[assignment]
+        elif line.startswith("}"):
+            cur_name = None
+        elif cur_name is not None:
+            cur_lines.append(line)
+
+    # which computations are while bodies (referenced via body=%name)
+    while_bodies = set(re.findall(r"body=%?([\w.-]+)", txt))
+
+    report: Dict[str, Any] = {}
+    for cname, lines in comps.items():
+        if cname != "ENTRY" and cname not in while_bodies:
+            continue
+        rows = []
+        for line in lines:
+            m = _DEF_RE.match(line)
+            if not m:
+                continue
+            name, rtype, opcode, operands = m.groups()
+            if opcode in ("parameter", "constant", "iota", "tuple",
+                          "get-tuple-element", "bitcast"):
+                continue  # no (or aliased) HBM traffic of their own
+            res_b = _shape_bytes(rtype)
+            op_names = re.findall(r"%([\w.-]+)", operands.split("),")[0])
+            op_bytes = [defs.get(o, 0) for o in op_names]
+            tot_op = sum(op_bytes)
+            rows.append({
+                "op": name.lstrip("%"), "opcode": opcode,
+                "result_mb": round(res_b / 1e6, 3),
+                "operand_mb": round(tot_op / 1e6, 3),
+                "total_mb": round((res_b + tot_op) / 1e6, 3),
+                "gatherish": bool(op_bytes) and max(op_bytes) > 8 * max(res_b, 1),
+            })
+        rows.sort(key=lambda r: -r["total_mb"])
+        report[cname] = rows[:top]
+    return report
+
+
 def timed(fn: Callable, *args, reps: int = 30, **kwargs) -> float:
     """Pipelined wall time per call in ms (dispatch reps, block once).
 

@@ -94,6 +94,42 @@ def main():
         pk = make_pallas_frontier_scorer(mcfg, tile=tile)
         timeit(f"pallas tile={tile}", pk)
 
+    # ---- int8 frontier (VERDICT r2 item 6): fused dequant+score in VMEM vs
+    # the XLA unpack->score chain, on identical quantized rows
+    from nann_tpu.index.quantize import dequantize_rows, quantize_embeddings
+    q_np, s_np = quantize_embeddings(np.asarray(embs[0], np.float32))
+    qs = [(jnp.asarray(q_np), jnp.asarray(s_np))]
+    for e in embs[1:]:
+        q1, s1 = quantize_embeddings(np.asarray(e, np.float32))
+        qs.append((jnp.asarray(q1), jnp.asarray(s1)))
+
+    def timeit_q(name, score_q):
+        run = jax.jit(score_q)
+        w0 = time.perf_counter()
+        first = jax.block_until_ready(run(folded0, kp0, v0, *qs[0]))
+        warm_s = time.perf_counter() - w0
+        t0 = time.perf_counter()
+        outs = []
+        for _ in range(args.reps):
+            outs = [run(folded0, kp0, v0, q, s) for q, s in qs]
+        jax.block_until_ready(outs)
+        wall = time.perf_counter() - t0
+        ms = wall / (args.reps * args.chain) * 1e3
+        print(f"# {name}: warm {warm_s*1e3:.1f} ms "
+              f"(first {float(first.sum()):.3f})", file=sys.stderr, flush=True)
+        print(f"{name:28s} {ms:8.3f} ms/call  "
+              f"{ms * 1e6 / args.rows:6.2f} ns/row", flush=True)
+
+    timeit_q("xla int8 dequant+score",
+             lambda f, kp, v, q, s: score_frontier_reference(
+                 f, kp, v, dequantize_rows(q, s, dt), dt=dt))
+    for tile in args.tiles:
+        if args.rows % tile:
+            continue
+        pk8 = make_pallas_frontier_scorer(mcfg, tile=tile, packed_int8=True)
+        timeit_q(f"pallas int8 tile={tile}",
+                 lambda f, kp, v, q, s, _pk=pk8: _pk(f, kp, v, q, s[:, None]))
+
 
 if __name__ == "__main__":
     main()
