@@ -74,3 +74,22 @@ def test_pallas_kernel_jit_and_vmap_free(setup):
     out = run(params, state, user, items)
     assert out.shape == (512,)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pallas_kernel_int8_fused_dequant(setup):
+    """packed_int8 mode (VERDICT r2 item 6): in-VMEM dequant+score must match
+    the XLA dequantize->score chain on identical quantized rows."""
+    from nann_tpu.index.quantize import dequantize_rows, quantize_embeddings
+
+    mcfg, params, state, user, items = setup
+    folded = fold_scorer(params, state, mcfg)
+    k_proj, v = precompute_user(folded, user)
+    q, scales = quantize_embeddings(np.asarray(items, np.float32))
+    want = score_frontier_reference(
+        folded, k_proj, v, dequantize_rows(jnp.asarray(q), jnp.asarray(scales)))
+
+    score = make_pallas_frontier_scorer(mcfg, tile=256, interpret=True,
+                                        packed_int8=True)
+    got = score(folded, k_proj, v, jnp.asarray(q), jnp.asarray(scales)[:, None])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.02, atol=0.02)

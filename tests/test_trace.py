@@ -62,3 +62,35 @@ def test_cost_on_search_program():
     rep = compiled_cost(fn, params, state, sidx, users, ltn)
     assert rep["flops"] > 0
     assert rep["entry_ops"] > 0
+
+
+def test_per_op_bytes_attribution():
+    """per_op_bytes decomposes the program census per instruction: entries
+    must carry positive byte totals and cover the matmul's traffic."""
+    from nann_tpu.utils.trace import per_op_bytes
+
+    f, a = _matmul()
+    rep = per_op_bytes(f, a, top=10)
+    assert "ENTRY" in rep and rep["ENTRY"], rep
+    top = rep["ENTRY"][0]
+    assert top["total_mb"] > 0
+    assert {"op", "opcode", "result_mb", "operand_mb",
+            "gatherish"} <= set(top)
+    # the 256x256 fp32 matmul moves ~0.79 MB (2 reads + 1 write)
+    total = sum(r["total_mb"] for r in rep["ENTRY"])
+    assert total >= 0.5, rep
+
+
+def test_per_op_bytes_on_search_program():
+    from test_staged import _setup
+    from nann_tpu.search import make_searcher
+    from nann_tpu.search.beam import level_topn_default
+    from nann_tpu.utils.trace import per_op_bytes
+
+    mcfg, scfg, params, state, sidx, users = _setup()
+    fn = jax.jit(jax.vmap(make_searcher(mcfg, scfg),
+                          in_axes=(None, None, None, 0, None)))
+    ltn = jnp.asarray(level_topn_default(scfg))
+    rep = per_op_bytes(fn, params, state, sidx, users, ltn, top=8)
+    assert rep["ENTRY"], "search program attribution empty"
+    assert all(r["total_mb"] >= 0 for r in rep["ENTRY"])
