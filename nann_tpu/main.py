@@ -45,6 +45,10 @@ def parse_opt(argv=None) -> argparse.Namespace:
     p.add_argument("--tree-beam", type=int, default=200,
                    help="beam width for tree search")
     p.add_argument("--port", type=int, default=8501)
+    p.add_argument("--grpc-port", type=int, default=8500,
+                   help="TF-Serving-compatible gRPC Predict port for "
+                        "--job-type serve (-1 disables; reference smoke "
+                        "test, README.md:205-218)")
     p.add_argument("--output-root", default="./output")
     p.add_argument("--index-dir", default=None,
                    help="override <output-root>/index (index variants built "
@@ -408,7 +412,14 @@ def job_serve(args, mcfg, tcfg, scfg, paths):
     reloader.start()
     server = NannServer(engine, port=args.port)
     server.start()
-    logger.info(f"serving export bundle on :{server.port}; ctrl-c to stop")
+    grpc_server = None
+    if args.grpc_port >= 0:
+        from .serving.grpc_server import NannGrpcServer
+        grpc_server = NannGrpcServer(engine, port=args.grpc_port)
+        grpc_server.start()
+    logger.info(f"serving export bundle on :{server.port} (REST)"
+                + (f" / :{grpc_server.port} (gRPC Predict)" if grpc_server
+                   else "") + "; ctrl-c to stop")
     try:
         import signal
         signal.pause()
@@ -416,6 +427,8 @@ def job_serve(args, mcfg, tcfg, scfg, paths):
         pass
     finally:
         server.stop()
+        if grpc_server:
+            grpc_server.stop()
         reloader.stop()
         engine.shutdown()
 

@@ -1,6 +1,7 @@
 from .metrics import Histogram, Meter, MetricsRegistry
 from .engine import Engine, EngineConfig, RequestRejected
 from .server import NannServer
+from .grpc_server import NannGrpcServer
 from .load_gen import LoadGenConfig, run_load_test
 from .pool import EnginePool
 from .selector import ModelReloader, ModelSelector
