@@ -68,8 +68,16 @@ def device_row_major(x) -> jnp.ndarray:
     if x.ndim < 2:
         return jnp.asarray(x)
     try:
+        if jax.process_count() > 1:
+            # pinning commits the array to one local device, which a
+            # multi-process program can't mix with globally-placed arrays;
+            # multihost consumers re-place via shard_index (which pins the
+            # per-shard layout itself)
+            return jnp.asarray(x)
         from jax.experimental.layout import Format, Layout
-        fmt = Format(Layout(major_to_minor=tuple(range(x.ndim))))
+        from jax.sharding import SingleDeviceSharding
+        fmt = Format(Layout(major_to_minor=tuple(range(x.ndim))),
+                     SingleDeviceSharding(jax.devices()[0]))
         return jax.device_put(x, fmt)
     except Exception:  # backends without layout control (e.g. some CPU paths)
         return jnp.asarray(x)
@@ -432,11 +440,12 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
     if use_pallas_scorer:
         scorer_impl = "pallas"
     if scorer_impl in ("folded", "pallas"):
-        from ..ops.scorer_kernel import (fold_scorer,
-                                         make_pallas_frontier_scorer,
-                                         precompute_user,
+        from ..ops.scorer_kernel import (fold_scorer, precompute_user,
                                          score_frontier_reference)
         if scorer_impl == "pallas":
+            # demoted experiment, kept opt-in (experimental/pallas_scorer.py)
+            from ..experimental.pallas_scorer import \
+                make_pallas_frontier_scorer
             pallas_score = make_pallas_frontier_scorer(
                 mcfg, tile=pallas_tile, interpret=pallas_interpret)
 

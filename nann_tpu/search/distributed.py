@@ -127,11 +127,24 @@ def shard_index(mesh: Mesh, index: SearchIndex, axis: str = "mp"
     rowsharded = NamedSharding(mesh, P(axis, None))
     sharded1d = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
+
+    def put2d(x, sharding):
+        # pin row-major per-shard layout: the column-major PJRT default makes
+        # every compiled consumer re-transpose the whole shard per call
+        # (see beam.device_row_major)
+        try:
+            from jax.experimental.layout import Format, Layout
+            fmt = Format(Layout(major_to_minor=tuple(range(x.ndim))),
+                         sharding)
+            return jax.device_put(x, fmt)
+        except Exception:
+            return jax.device_put(x, sharding)
+
     return SearchIndex(
-        item_embs=jax.device_put(index.item_embs, rowsharded),
+        item_embs=put2d(index.item_embs, rowsharded),
         item_ids=jax.device_put(index.item_ids, sharded1d),
         enter_points=jax.device_put(index.enter_points, replicated),
-        neighbors={l: jax.device_put(v, rowsharded)
+        neighbors={l: put2d(v, rowsharded)
                    for l, v in index.neighbors.items()},
     )
 

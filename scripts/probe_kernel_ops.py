@@ -288,9 +288,9 @@ def main():
 
     print("== pallas scorer width scaling (chained) ==", flush=True)
     from nann_tpu.config import ModelConfig, TrainConfig
-    from nann_tpu.ops.scorer_kernel import (fold_scorer,
-                                            make_pallas_frontier_scorer,
-                                            precompute_user,
+    from nann_tpu.experimental.pallas_scorer import \
+        make_pallas_frontier_scorer
+    from nann_tpu.ops.scorer_kernel import (fold_scorer, precompute_user,
                                             score_frontier_reference)
     from nann_tpu.train import create_train_state
 

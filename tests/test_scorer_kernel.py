@@ -7,9 +7,8 @@ import pytest
 
 from nann_tpu.config import ModelConfig
 from nann_tpu.models import init_scorer, scorer
-from nann_tpu.ops.scorer_kernel import (fold_scorer,
-                                        make_pallas_frontier_scorer,
-                                        precompute_user,
+from nann_tpu.experimental.pallas_scorer import make_pallas_frontier_scorer
+from nann_tpu.ops.scorer_kernel import (fold_scorer, precompute_user,
                                         score_frontier_reference)
 
 
