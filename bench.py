@@ -201,6 +201,37 @@ def main():
         print(f"# chained device latency: {dev_ms:.3f} ms/query",
               file=sys.stderr)
 
+        # device-true BATCHED throughput: chain the batched program on
+        # device. The dispatch-pipelined qps above is capped by the relay
+        # tunnel's ~30-45 MB/s input bandwidth at batch>=16 (each dispatch
+        # ships batch x L x d x 4B of user embeddings) — this one ships ONE
+        # batch and loops on-chip, so wall/N is what a locally-attached
+        # deployment gets per batch.
+        @jax.jit
+        def chainedB(params, state, sidx, users, ltn):
+            def body(_i, carry):
+                u = users + carry * 1e-12
+                _it, sc, _ns = searchB_inner(params, state, sidx, u, ltn)
+                return sc[:, 0].sum()
+            return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+
+        searchB_inner = jax.vmap(searcher,
+                                 in_axes=(None, None, None, 0, None))
+        jax.block_until_ready(chainedB(params, state, sidx, userB, ltn))
+        t0 = time.perf_counter()
+        jax.block_until_ready(chainedB(params, state, sidx, userB, ltn))
+        devB_ms = (time.perf_counter() - t0) / N * 1e3
+        extras[f"device_qps_at_batch_{args.batch}"] = round(
+            args.batch / devB_ms * 1e3, 1)
+        print(f"# chained batched: {devB_ms:.3f} ms/batch = "
+              f"{extras[f'device_qps_at_batch_{args.batch}']} qps "
+              f"device-true", file=sys.stderr)
+        # tunnel input-bandwidth the dispatch-pipelined loop was pushing —
+        # when this is near the tunnel's ceiling, `value` measures the
+        # transport, not the chip (device_qps_* is the chip)
+        inp_mb = userB.size * 4 / 1e6
+        extras["dispatch_input_mbps"] = round(qps / args.batch * inp_mb, 1)
+
     if args.cost:
         from nann_tpu.utils.trace import compiled_cost
         ca = compiled_cost(searchB, params, state, sidx, userB, ltn)

@@ -64,8 +64,9 @@ def device_row_major(x) -> jnp.ndarray:
     with the catalogue). Pinning row-major at load time removes those
     per-call copies for every consumer: search, serving engine, export.
     """
+    import os
     x = np.asarray(x) if not isinstance(x, jnp.ndarray) else x
-    if x.ndim < 2:
+    if x.ndim < 2 or os.environ.get("NANN_PIN_LAYOUT", "1") == "0":
         return jnp.asarray(x)
     try:
         if jax.process_count() > 1:

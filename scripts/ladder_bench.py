@@ -72,6 +72,26 @@ def main():
                 ms = timed(fB, params, state, sidx, userB, ltn,
                            reps=max(args.reps // (2 if b == 64 else 1), 5))
                 row[f"qps_b{b}"] = round(b / ms * 1e3, 1)
+                # device-true: chain the batched program on-chip — the
+                # dispatch-pipelined number above is capped by the relay
+                # tunnel's input bandwidth (~30-45 MB/s) at these batches
+                N = max(args.chain // (2 if b == 64 else 1), 4)
+                vsearch = jax.vmap(searcher,
+                                   in_axes=(None, None, None, 0, None))
+
+                @jax.jit
+                def chB(params, state, sidx, users, ltn):
+                    def body(_i, carry):
+                        u = users + carry * 1e-12
+                        _it, sc, _ns = vsearch(params, state, sidx, u, ltn)
+                        return sc[:, 0].sum()
+                    return jax.lax.fori_loop(0, N, body, jnp.float32(0.0))
+
+                jax.block_until_ready(chB(params, state, sidx, userB, ltn))
+                t1 = time.perf_counter()
+                jax.block_until_ready(chB(params, state, sidx, userB, ltn))
+                row[f"dev_qps_b{b}"] = round(
+                    b * N / (time.perf_counter() - t1), 1)
                 if b == 16:
                     out = fB(params, state, sidx, userB, ltn)
                     row["scored_per_query"] = int(
@@ -97,8 +117,10 @@ def main():
                     (time.perf_counter() - t1) / N * 1e3, 3)
             row["setup_s"] = round(time.time() - t0, 1)
             rows.append(row)
-            print(f"{items:>9d} {dtype:>5s}: b16 {row['qps_b16']:7.1f} qps  "
-                  f"b64 {row.get('qps_b64', 0):7.1f} qps  1q "
+            print(f"{items:>9d} {dtype:>5s}: b16 {row['qps_b16']:7.1f} qps "
+                  f"(dev {row.get('dev_qps_b16', 0):7.1f})  "
+                  f"b64 {row.get('qps_b64', 0):7.1f} qps "
+                  f"(dev {row.get('dev_qps_b64', 0):7.1f})  1q "
                   f"{row.get('device_ms_1q', float('nan')):6.3f} ms  scored "
                   f"{row.get('scored_per_query')}", flush=True)
             del params, state, sidx
