@@ -53,20 +53,26 @@ _UNVISITED = np.uint8(255)
 
 
 def device_row_major(x) -> jnp.ndarray:
-    """device_put a table with an EXPLICIT row-major layout.
+    """device_put a table with an EXPLICIT row-major layout (OPT-IN,
+    NANN_PIN_LAYOUT=1) — a measured pessimization kept for A/B.
 
     The TPU PJRT default layout for 2-D tables here is column-major
-    (major_to_minor=(1, 0)), but XLA's gather emitter wants the rows
-    contiguous — so a column-major index table makes every compiled search
-    program re-transpose the WHOLE table on EVERY invocation (HLO: per-call
-    `copy {0,1}->{1,0}` staged through async slices; measured 51.2 MB x 2
-    per call for the level-0 neighbors alone at 200k items, growing linearly
-    with the catalogue). Pinning row-major at load time removes those
-    per-call copies for every consumer: search, serving engine, export.
+    (major_to_minor=(1, 0)); the compiled search program then re-stages the
+    WHOLE table per invocation (async `slice-start` + `ConcatBitcast` +
+    `copy {0,1}->{1,0}` chains in the HLO, 51.2 MB x2 for the level-0
+    neighbors alone at 200k items). Pinning row-major at load removes those
+    copies — the XLA-counted program bytes drop 2,219 -> 1,833 MB/batch
+    (-17.4%) — but measured DEVICE-TRUE throughput gets WORSE: 3,981 ->
+    3,530 qps at batch 16, 0.513 -> 0.647 ms single-query (same-window A/B,
+    identical results). The per-call staging is an asynchronous PREFETCH
+    XLA overlaps with compute, and gathers from the staged (VMEM-scoped /
+    freshly-packed) tables are faster than HBM-resident row-major gathers.
+    Cost-model bytes mislead when the copies are async — see docs/DESIGN.md
+    forensics IV. Default is therefore OFF.
     """
     import os
     x = np.asarray(x) if not isinstance(x, jnp.ndarray) else x
-    if x.ndim < 2 or os.environ.get("NANN_PIN_LAYOUT", "1") == "0":
+    if x.ndim < 2 or os.environ.get("NANN_PIN_LAYOUT", "0") != "1":
         return jnp.asarray(x)
     try:
         if jax.process_count() > 1:

@@ -129,9 +129,12 @@ def shard_index(mesh: Mesh, index: SearchIndex, axis: str = "mp"
     replicated = NamedSharding(mesh, P())
 
     def put2d(x, sharding):
-        # pin row-major per-shard layout: the column-major PJRT default makes
-        # every compiled consumer re-transpose the whole shard per call
-        # (see beam.device_row_major)
+        # opt-in row-major per-shard pin (NANN_PIN_LAYOUT=1) — same A/B knob
+        # as beam.device_row_major; the single-chip A/B measured the default
+        # (XLA's own per-call staging) FASTER, so default off
+        import os
+        if os.environ.get("NANN_PIN_LAYOUT", "0") != "1":
+            return jax.device_put(x, sharding)
         try:
             from jax.experimental.layout import Format, Layout
             fmt = Format(Layout(major_to_minor=tuple(range(x.ndim))),
