@@ -48,8 +48,11 @@ python -m nann_tpu.main --job-type build_index "${COMMON[@]}" \
   --ef-construction "$EF"
 
 echo "=== parity $(date -u +%H:%M:%S)"
+# frontier_cap 8192 at multi-M scale: the 4.2M gap analysis (DESIGN.md round
+# 3) measured the 100k-tuned 4096 cap as the binding scale leak (+7.4pp
+# recall at 8192; flat above it)
 python -m nann_tpu.main --job-type parity "${COMMON[@]}" \
-  --num-test-batch 4096
+  --num-test-batch 4096 --frontier-cap 8192
 
 echo "=== export + verify $(date -u +%H:%M:%S)"
 python -m nann_tpu.main --job-type export "${COMMON[@]}"
