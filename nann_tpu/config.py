@@ -65,6 +65,19 @@ class TrainConfig:
     dp: int = 1
 
 
+def default_frontier_cap(num_items: int) -> int:
+    """Catalogue-aware frontier capacity.
+
+    The per-hop neighbor expansion grows with the catalogue (denser ground
+    level + bigger budgets actually used), and a cap that silently truncates
+    it is a recall leak that only appears at scale: measured at 4.2M items,
+    cap 4096 saturated every ground hop and cost 13pp recall parity
+    (64.6% -> 77.6% at 8192; 16384 flat — docs/DESIGN.md round-3 gap
+    analysis). 4096 is right for <= ~2M items (at 100k-1M the mean expansion
+    sits well under it)."""
+    return 4096 if num_items <= 2_000_000 else 8192
+
+
 @dataclasses.dataclass
 class SearchConfig:
     """HNSW search budget. Reference: nann/config.py:50-57.

@@ -63,7 +63,7 @@ def _unflatten_into(template, flat, prefix=""):
 def export_model(export_dir: str, params: Params, state: State,
                  mcfg: ModelConfig, scfg: SearchConfig,
                  item_ids: np.ndarray = None, item_embs: np.ndarray = None,
-                 index_dir: str = None) -> None:
+                 index_dir: str = None, checkpoint_step: int = None) -> None:
     """Write the serving bundle; the VERSION marker is written LAST so a
     reloader polling mid-export never cold-loads a mixed old/new bundle
     (reference ModelReloader keys on an explicit version, model.cc:384-437).
@@ -77,6 +77,9 @@ def export_model(export_dir: str, params: Params, state: State,
     with open(os.path.join(export_dir, "signature.json"), "w") as f:
         json.dump({
             "semantics": scfg.semantics,
+            # which training checkpoint this bundle froze (the deploy-by-
+            # oracle winner when select_checkpoint ran) — deploy forensics
+            "checkpoint_step": checkpoint_step,
             # full search config so a serving host reproduces the exporter's
             # budgets/caps/policies exactly (load via load_search_config)
             "search_config": dataclasses.asdict(scfg),

@@ -26,7 +26,8 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from .config import Config, ModelConfig, SearchConfig, TrainConfig
+from .config import (Config, ModelConfig, SearchConfig, TrainConfig,
+                     default_frontier_cap)
 from .utils import AverageMeter, calc_pr, get_logger
 
 logger = get_logger("nann_tpu.main")
@@ -37,9 +38,9 @@ def parse_opt(argv=None) -> argparse.Namespace:
         "nann_tpu driver", formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     p.add_argument("--job-type", default="train",
                    choices=["train", "extract_feature", "build_index", "test",
-                            "test_all", "export", "serve", "serve_bench",
-                            "verify_export", "parity", "build_tree",
-                            "test_tree", "all"])
+                            "test_all", "select_checkpoint", "export",
+                            "serve", "serve_bench", "verify_export",
+                            "parity", "build_tree", "test_tree", "all"])
     p.add_argument("--tree-branch", type=int, default=16,
                    help="k-ary branch factor for the TDM tree index")
     p.add_argument("--tree-beam", type=int, default=200,
@@ -83,7 +84,14 @@ def parse_opt(argv=None) -> argparse.Namespace:
                    default=[400, 200, 100])
     p.add_argument("--topk-eval", type=int, nargs="+", default=[200])
     p.add_argument("--num-test-batch", type=int, default=10000)
-    p.add_argument("--frontier-cap", type=int, default=4096)
+    p.add_argument("--select-steps", type=int, nargs="+", default=None,
+                   help="checkpoint steps select_checkpoint evaluates "
+                        "(default: every retained checkpoint)")
+    p.add_argument("--frontier-cap", type=int, default=None,
+                   help="static per-hop frontier capacity; default is "
+                        "catalogue-aware (config.default_frontier_cap: 4096 "
+                        "up to 2M items, 8192 beyond — the measured at-scale "
+                        "setting, round-3 gap analysis)")
     p.add_argument("--hnsw-num-neighbors", type=int, default=32)
     p.add_argument("--ef-construction", type=int, default=200)
     p.add_argument("--search-batch", type=int, default=16)
@@ -140,7 +148,7 @@ def build_configs(args) -> Tuple[ModelConfig, TrainConfig, SearchConfig]:
         num_scoring_per_level=tuple(args.num_scoring_per_level),
         top_k_per_level=tuple(min(t, num_item) for t in args.top_k_per_level),
         topk_eval=tuple(min(t, num_item) for t in args.topk_eval),
-        frontier_cap=args.frontier_cap,
+        frontier_cap=args.frontier_cap or default_frontier_cap(num_item),
         semantics=args.search_semantics,
         vis_impl=args.vis_impl, mark_policy=args.mark_policy)
     return mcfg, tcfg, scfg
@@ -195,16 +203,35 @@ class Paths:
         self.export_dir = mk(os.path.join(root, "export"))
 
 
-def _restore(mcfg, tcfg, paths):
+def _selected_step(paths) -> Optional[int]:
+    """The checkpoint select_checkpoint picked (model/selected_step.json),
+    or None if selection never ran."""
+    sel = os.path.join(paths.model_save_dir, "selected_step.json")
+    if os.path.exists(sel):
+        with open(sel) as f:
+            return int(json.load(f)["step"])
+    return None
+
+
+def _restore(mcfg, tcfg, paths, step: Optional[int] = None,
+             prefer_selected: bool = True):
+    """Restore a checkpoint: explicit `step` > the select_checkpoint winner
+    (deploy-by-oracle, reference main.py:194-237 flow) > the latest."""
     import jax
     from .train import create_train_state
     from .train.dataclasses_io import restore_train_state
     from .train.loop import latest_checkpoint_step
 
     state, tx = create_train_state(jax.random.PRNGKey(tcfg.seed), mcfg, tcfg)
-    step = latest_checkpoint_step(paths.model_save_dir)
+    how = "requested"
+    if step is None and prefer_selected:
+        step = _selected_step(paths)
+        how = "selected (deploy-by-oracle)"
+    if step is None:
+        step = latest_checkpoint_step(paths.model_save_dir)
+        how = "latest"
     if step is not None:
-        logger.info(f"restoring checkpoint step_{step}")
+        logger.info(f"restoring {how} checkpoint step_{step}")
         state = restore_train_state(
             os.path.join(paths.model_save_dir, f"step_{step}"), state)
     else:
@@ -315,19 +342,29 @@ def job_test(args, mcfg, tcfg, scfg, paths):
         logger.info(f"Test Recall@{topk} {meters['recall'][topk].avg:.2%}, "
                     f"num_scoring {ns.sum(-1).mean():.0f}")
     logger.info(f"num scoring per hop: mean {ns.mean(0)}, max {ns.max(0)}")
+    # frontier-cap saturation check — the exact signal that exposed the
+    # round-3 scale leak (cap 4096 binding every ground hop at 4.2M items
+    # cost 13pp parity). A hop whose MEAN scored count sits at the cap is
+    # truncating real expansion, not padding.
+    hop_means = ns.mean(0)
+    if hop_means.max() >= 0.98 * scfg.frontier_cap:
+        logger.warning(
+            f"frontier_cap={scfg.frontier_cap} SATURATED: per-hop scored "
+            f"means {np.round(hop_means).astype(int).tolist()} — the cap is "
+            f"truncating the neighbor expansion and costing recall. "
+            f"Raise --frontier-cap (catalogue-aware default: "
+            f"{default_frontier_cap(mcfg.num_item)} for "
+            f"{mcfg.num_item} items).")
     return {f"recall@{t}": meters["recall"][t].avg for t in args.topk_eval}
 
 
-def job_test_all(args, mcfg, tcfg, scfg, paths):
-    """Brute-force oracle eval (reference test_all(), main.py:194-237)."""
+def _oracle_recall(args, mcfg, state, item_embs, item_ids, test,
+                   quiet: bool = False) -> Dict[str, float]:
+    """Brute-force oracle recall over a held-out user slice — the inner loop
+    of test_all, reusable against any (state, embeddings) pair."""
     import jax.numpy as jnp
     from .delivery import extract_user_embeddings
     from .search import make_brute_force_scorer
-
-    _train, test, _feats = load_dataset(args)
-    state = _restore(mcfg, tcfg, paths)
-    item_embs = jnp.asarray(np.load(paths.item_embs_file))
-    item_ids = np.load(paths.item_ids_file)
 
     n_users = min(args.num_test_batch, len(test["gt_item_id"]))
     k = max(args.topk_eval)
@@ -346,12 +383,69 @@ def job_test_all(args, mcfg, tcfg, scfg, paths):
                 _p, recall, _f = calc_pr(batch["gt_item_id"][u],
                                          retrieved[u][:topk])
                 meters[topk].update(recall)
-        if (start // B) % max(args.print_freq // B, 1) == 0:
+        if not quiet and (start // B) % max(args.print_freq // B, 1) == 0:
             t0 = args.topk_eval[0]
             logger.info(f"[{end}/{n_users}] {meters[t0]}")
-    for topk in args.topk_eval:
-        logger.info(f"Test-all Recall@{topk} {meters[topk].avg:.2%}")
     return {f"recall@{t}": meters[t].avg for t in args.topk_eval}
+
+
+def job_test_all(args, mcfg, tcfg, scfg, paths):
+    """Brute-force oracle eval (reference test_all(), main.py:194-237)."""
+    import jax.numpy as jnp
+
+    _train, test, _feats = load_dataset(args)
+    state = _restore(mcfg, tcfg, paths)
+    item_embs = jnp.asarray(np.load(paths.item_embs_file))
+    item_ids = np.load(paths.item_ids_file)
+    res = _oracle_recall(args, mcfg, state, item_embs, item_ids, test)
+    for topk in args.topk_eval:
+        logger.info(f"Test-all Recall@{topk} {res[f'recall@{topk}']:.2%}")
+    return res
+
+
+def job_select_checkpoint(args, mcfg, tcfg, scfg, paths):
+    """Deploy-by-oracle checkpoint selection (VERDICT r3 item 1).
+
+    The reference's deploy flow runs test_all and deploys the checkpoint
+    with the best oracle recall (NANN_impls/main.py:194-237); exporting
+    whatever checkpoint is newest shipped a degraded model at 4.2M scale
+    (step-30000 oracle 57.4% vs step-10001's 67.3%, docs/DESIGN.md round 3).
+    This job evaluates the brute-force oracle recall of every retained
+    checkpoint (or --select-steps) on a held-out slice, writes the winner to
+    model/selected_step.json, and every downstream job (extract_feature,
+    test, test_all, export, parity) restores the SELECTED checkpoint.
+    """
+    import jax.numpy as jnp
+    from .delivery import extract_item_embeddings
+    from .train.loop import checkpoint_steps
+
+    _train, test, feats = load_dataset(args)
+    steps = args.select_steps or checkpoint_steps(paths.model_save_dir)
+    if not steps:
+        raise SystemExit(f"no checkpoints in {paths.model_save_dir}")
+    key = f"recall@{max(args.topk_eval)}"
+    results = {}
+    for step in steps:
+        t0 = time.time()
+        state = _restore(mcfg, tcfg, paths, step=step)
+        item_ids, item_embs = extract_item_embeddings(
+            state.params, state.bn_state, mcfg, feats)
+        res = _oracle_recall(args, mcfg, state, jnp.asarray(item_embs),
+                             item_ids, test, quiet=True)
+        results[step] = res
+        logger.info(f"checkpoint step_{step}: oracle {key} "
+                    f"{res[key]:.2%} ({time.time() - t0:.0f}s)")
+        del state, item_embs
+    best = max(results, key=lambda s: results[s][key])
+    sel = {"step": best, "metric": key, "oracle": results[best],
+           "num_users": min(args.num_test_batch, len(test["gt_item_id"])),
+           "evaluated": {str(s): results[s][key] for s in results}}
+    sel_path = os.path.join(paths.model_save_dir, "selected_step.json")
+    with open(sel_path, "w") as f:
+        json.dump(sel, f, indent=1)
+    logger.info(f"SELECTED step_{best} ({key} {results[best][key]:.2%}) "
+                f"-> {sel_path}")
+    return sel
 
 
 def job_export(args, mcfg, tcfg, scfg, paths):
@@ -368,7 +462,8 @@ def job_export(args, mcfg, tcfg, scfg, paths):
                                             "enter_points.npy"))
     export_model(paths.export_dir, state.params, state.bn_state, mcfg, scfg,
                  item_ids, item_embs,
-                 index_dir=paths.index_dir if has_index else None)
+                 index_dir=paths.index_dir if has_index else None,
+                 checkpoint_step=int(state.step))
 
 
 def job_serve_bench(args, mcfg, tcfg, scfg, paths):
@@ -379,7 +474,7 @@ def job_serve_bench(args, mcfg, tcfg, scfg, paths):
     buckets = tuple(args.batch_buckets) if args.batch_buckets else \
         EngineConfig.batch_buckets
     engine = Engine(mcfg, scfg, state.params, state.bn_state, sidx,
-                    EngineConfig(batch_buckets=buckets))
+                    EngineConfig(batch_buckets=buckets, calibrate=True))
     # bench conf JSON (gen_benchmark_conf.py parity): LoadGenConfig fields
     lg = LoadGenConfig(duration_s=10.0, qps=-1)
     conf_path = os.path.join(args.output_root, "benchmark_conf.json")
@@ -407,7 +502,7 @@ def job_serve(args, mcfg, tcfg, scfg, paths):
     buckets = tuple(args.batch_buckets) if args.batch_buckets else \
         EngineConfig.batch_buckets
     engine = Engine(mcfg, scfg, params, state, sidx,
-                    EngineConfig(batch_buckets=buckets))
+                    EngineConfig(batch_buckets=buckets, calibrate=True))
     reloader = ModelReloader(engine, paths.export_dir, scfg)
     reloader.start()
     server = NannServer(engine, port=args.port)
@@ -524,6 +619,7 @@ JOBS = {
     "build_index": job_build_index,
     "test": job_test,
     "test_all": job_test_all,
+    "select_checkpoint": job_select_checkpoint,
     "export": job_export,
     "serve": job_serve,
     "serve_bench": job_serve_bench,
@@ -548,8 +644,11 @@ def main(argv=None):
         paths.index_dir = args.index_dir
     logger.info(f"job={args.job_type} model={mcfg} train={tcfg} search={scfg}")
     if args.job_type == "all":
-        for name in ("train", "extract_feature", "build_index", "test_all",
-                     "test", "export", "verify_export"):
+        # select_checkpoint between train and the index/eval/export stages:
+        # everything downstream runs on the deploy-by-oracle winner
+        for name in ("train", "select_checkpoint", "extract_feature",
+                     "build_index", "test_all", "test", "export",
+                     "verify_export"):
             logger.info(f"=== {name} ===")
             JOBS[name](args, mcfg, tcfg, scfg, paths)
     else:

@@ -54,9 +54,20 @@ class RequestRejected(Exception):
 @dataclasses.dataclass
 class EngineConfig:
     batch_buckets: Sequence[int] = (1, 4, 16, 64, 128)
-    # default ladder reaches the chip's measured operating point: program-level
-    # qps keeps rising through batch 64-128 (docs/DESIGN.md forensics III), so
-    # serving below 64 left ~12% of throughput on the floor
+    # The ladder spans the chip's program-level operating point (64-128,
+    # docs/DESIGN.md forensics III) AND the relay-transport optimum (16).
+    # Which bucket actually SERVES is not hardcoded: with calibrate=True the
+    # engine measures per-bucket end-to-end dispatch throughput at warmup and
+    # caps batch formation at the bucket that maximizes it — through a
+    # tunneled link that lands on 16; direct-attached it lands on 64-128.
+    # (Round-3 lesson: hardcoding the ladder to 128 cost 2.7x on p50 because
+    # under saturation the engine always forms the largest bucket, and the
+    # per-bucket qps curve falls monotonically with bucket size through the
+    # relay: 2083 qps @16 -> 1010 @128, runs/engine_curve.json.)
+    calibrate: bool = False           # measure per-bucket qps at startup and
+    #                                   cap serving at the fastest bucket
+    serve_bucket: Optional[int] = None  # explicit cap override (skips
+    #                                     calibration when set)
     wait_ms: float = 5.0              # micro-batch window (opt_default.conf wait_ms)
     max_queue: int = 256              # reject beyond this (max_queue_size)
     warmup: bool = True
@@ -144,6 +155,13 @@ class Engine:
 
         if self.config.warmup:
             self.warmup()
+        if self.config.serve_bucket is not None:
+            self._serve_cap = min(b for b in self._fns
+                                  if b >= self.config.serve_bucket)
+        elif self.config.calibrate:
+            self._serve_cap = self._calibrate()
+        else:
+            self._serve_cap = max(self._fns)
         self._dispatcher.start()
         self._completer.start()
 
@@ -163,6 +181,40 @@ class Engine:
             jax.block_until_ready(self._fns[b](params, state, index, user, ltn))
             logger.info(f"warmup bucket B={b}: {time.time() - t0:.2f}s")
 
+    def _calibrate(self) -> int:
+        """Measure per-bucket END-TO-END dispatch throughput (device time +
+        per-dispatch host/transport cost, pipelined like real serving) and
+        return the bucket that maximizes it. This is the runtime analogue of
+        the reference's warmup pass (blaze_xla_predictor.cc:79-140), extended
+        to pick the operating point instead of assuming one: the fastest
+        bucket depends on the link between host and chip, which only a
+        measurement at load time can know."""
+        params, state, index = self._model
+        rng = np.random.default_rng(0)
+        ltn = jnp.asarray(self._default_ltn)
+        reps = 3
+        self.bucket_qps = {}
+        for b in sorted(self._fns):
+            user = jnp.asarray(rng.standard_normal(
+                (b, self.mcfg.max_seq_length, self.mcfg.user_emb_dim)
+            ).astype(np.float32))
+            # ensure compiled (no-op after warmup), then pipeline `reps`
+            # dispatches with ONE sync — the same discipline the dispatcher/
+            # completer pair runs in steady state
+            jax.block_until_ready(self._fns[b](params, state, index, user, ltn))
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(reps):
+                out = self._fns[b](params, state, index, user, ltn)
+            jax.block_until_ready(out)
+            wall = time.perf_counter() - t0
+            self.bucket_qps[b] = b * reps / wall
+        best = max(self.bucket_qps, key=self.bucket_qps.get)
+        logger.info("calibrated serve bucket B=%d (measured qps by bucket: %s)"
+                    % (best, {k: round(v, 1)
+                              for k, v in self.bucket_qps.items()}))
+        return best
+
     def swap_model(self, params: Params, state: State,
                    index: SearchIndex) -> None:
         """Hot model swap between batches (double-buffer semantics: requests
@@ -172,9 +224,34 @@ class Engine:
         logger.info("model swapped")
 
     def shutdown(self) -> None:
+        """Stop the worker threads and fail anything still queued.
+
+        The joins must actually WAIT for the threads: a worker blocked inside
+        a multi-second XLA execution (big bucket on a slow backend) that is
+        still alive at interpreter exit dies inside runtime C++ teardown —
+        glibc's "FATAL: exception not rethrown" abort (round-3 bench-contract
+        SIGABRT). Worst case is one in-flight program per thread, so a
+        generous bounded join is safe; daemon=True remains only as the
+        last-resort backstop and is logged if it ever engages."""
         self._stop.set()
-        self._dispatcher.join(timeout=2)
-        self._completer.join(timeout=2)
+        self._dispatcher.join(timeout=60)
+        self._completer.join(timeout=60)
+        for t in (self._dispatcher, self._completer):
+            if t.is_alive():
+                logger.info(f"shutdown: {t.name} still alive after 60s join")
+        # requests admitted but never dispatched get an explicit rejection
+        # instead of a forever-pending Future
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not r.future.done():
+                r.future.set_exception(RequestRejected("engine shutdown"))
+        for r in self._holdback:
+            if not r.future.done():
+                r.future.set_exception(RequestRejected("engine shutdown"))
+        self._holdback.clear()
 
     def dump_runmeta(self, path: str) -> int:
         """Dump recorded requests (inputs, budgets, results, latency) as npz —
@@ -239,7 +316,7 @@ class Engine:
         a steady stream of default-budget traffic cannot starve them."""
         batch = list(self._holdback)
         self._holdback.clear()
-        max_b = max(self._fns)
+        max_b = self._serve_cap   # calibrated operating point, not max bucket
         if not batch:
             try:
                 batch.append(self._queue.get(timeout=0.05))

@@ -40,11 +40,18 @@ def _prune_checkpoints(ckpt_dir: str, keep: int) -> None:
             logger.info(f"could not prune checkpoint {path}")
 
 
-def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
+def checkpoint_steps(ckpt_dir: str) -> list:
+    """All retained checkpoint steps, ascending (deploy-candidate set for
+    select_checkpoint — the reference keeps max_to_keep=50 for the same
+    test_all-then-deploy reason, NANN_impls/main.py:289-301)."""
     if not os.path.isdir(ckpt_dir):
-        return None
-    steps = [int(d.split("_")[-1]) for d in os.listdir(ckpt_dir)
-             if d.startswith("step_") and d.split("_")[-1].isdigit()]
+        return []
+    return sorted(int(d.split("_")[-1]) for d in os.listdir(ckpt_dir)
+                  if d.startswith("step_") and d.split("_")[-1].isdigit())
+
+
+def latest_checkpoint_step(ckpt_dir: str) -> Optional[int]:
+    steps = checkpoint_steps(ckpt_dir)
     return max(steps) if steps else None
 
 
@@ -95,10 +102,12 @@ def train_loop(mcfg: ModelConfig, tcfg: TrainConfig,
     tic = time.time()
     metrics_host: Dict[str, float] = {}
     step_idx = start_step
+    stepped = False   # did at least one optimizer step run?
     for step_idx, batch in enumerate(it.iter_from(start_step % len(it)),
                                      start=start_step):
         if step_idx >= total:
             break
+        stepped = True
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         state, metrics = step_fn(state, batch, data_rng)
 
@@ -122,6 +131,19 @@ def train_loop(mcfg: ModelConfig, tcfg: TrainConfig,
                          or step_idx + 1 == total):
             path = os.path.join(ckpt_dir, f"step_{step_idx + 1}")
             save_train_state(path, state)
+            _prune_checkpoints(ckpt_dir, keep=tcfg.max_to_keep)
+
+    # end-of-training save (reference main.py:292). The in-loop condition
+    # `step_idx + 1 == total` never fires when the data iterator exhausts
+    # BEFORE the step budget (epochs * samples < num_steps), which silently
+    # dropped the final — usually best — checkpoint.
+    if ckpt_dir and stepped:
+        # state.step is the count of executed optimizer steps — correct both
+        # when the loop broke on the budget (step_idx overshot by 1) and when
+        # the iterator exhausted early
+        final = os.path.join(ckpt_dir, f"step_{int(state.step)}")
+        if not os.path.exists(final):
+            save_train_state(final, state)
             _prune_checkpoints(ckpt_dir, keep=tcfg.max_to_keep)
 
     if not metrics_host:

@@ -62,7 +62,11 @@ def main():
                 reorder=args.reorder)
             searcher = make_searcher(mcfg, scfg)
             ltn = jnp.asarray(level_topn_default(scfg))
-            row = {"items": items, "dtype": dtype}
+            row = {"items": items, "dtype": dtype,
+                   # catalogue-aware cap (config.default_frontier_cap):
+                   # 4.2M/8M rows run at 8192 — the at-scale quality setting
+                   # — so qps is measured where the recall actually is
+                   "frontier_cap": scfg.frontier_cap}
             for b in (16, 64):
                 userB = jnp.asarray(rng.standard_normal(
                     (b, mcfg.max_seq_length, mcfg.user_emb_dim)

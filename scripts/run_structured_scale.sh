@@ -40,6 +40,14 @@ echo "=== train (max_steps=$STEPS) $(date -u +%H:%M:%S)"
 python -m nann_tpu.main --job-type train "${COMMON[@]}" \
   --max-steps "$STEPS" --save-freq 10000 --print-freq 200
 
+echo "=== select_checkpoint (deploy-by-oracle) $(date -u +%H:%M:%S)"
+# the reference deploys the checkpoint test_all likes best (main.py:194-237);
+# exporting the newest one shipped a degraded model at 4.2M in round 3
+# (57.4% vs 67.3% oracle). 1024 users is the screening slice; the parity
+# stage re-measures the winner on the full 4096.
+python -m nann_tpu.main --job-type select_checkpoint "${COMMON[@]}" \
+  --num-test-batch 1024
+
 echo "=== extract_feature $(date -u +%H:%M:%S)"
 python -m nann_tpu.main --job-type extract_feature "${COMMON[@]}"
 
@@ -48,11 +56,10 @@ python -m nann_tpu.main --job-type build_index "${COMMON[@]}" \
   --ef-construction "$EF"
 
 echo "=== parity $(date -u +%H:%M:%S)"
-# frontier_cap 8192 at multi-M scale: the 4.2M gap analysis (DESIGN.md round
-# 3) measured the 100k-tuned 4096 cap as the binding scale leak (+7.4pp
-# recall at 8192; flat above it)
+# frontier_cap defaults catalogue-aware now (8192 at 4.2M — the round-3 gap
+# analysis setting; config.default_frontier_cap)
 python -m nann_tpu.main --job-type parity "${COMMON[@]}" \
-  --num-test-batch 4096 --frontier-cap 8192
+  --num-test-batch 4096
 
 echo "=== export + verify $(date -u +%H:%M:%S)"
 python -m nann_tpu.main --job-type export "${COMMON[@]}"

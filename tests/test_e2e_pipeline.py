@@ -56,6 +56,37 @@ def test_parity_job(pipeline_out):
     assert report["parity@80"] > 0.6, report
 
 
+def test_select_checkpoint_deploy_by_oracle(pipeline_out):
+    """select_checkpoint writes the oracle winner and downstream jobs
+    restore it instead of the latest (reference test_all-then-deploy flow,
+    NANN_impls/main.py:194-237)."""
+    import json
+    import os
+    out, argv = pipeline_out
+    args = cli.parse_opt([a if a != "all" else "select_checkpoint"
+                          for a in argv])
+    mcfg, tcfg, scfg = cli.build_configs(args)
+    paths = cli.Paths(out)
+    sel = cli.job_select_checkpoint(args, mcfg, tcfg, scfg, paths)
+    sel_path = os.path.join(out, "model", "selected_step.json")
+    assert os.path.exists(sel_path)
+    with open(sel_path) as f:
+        on_disk = json.load(f)
+    assert on_disk["step"] == sel["step"]
+    # every retained checkpoint was evaluated, winner is the argmax
+    evaluated = {int(k): v for k, v in on_disk["evaluated"].items()}
+    from nann_tpu.train.loop import checkpoint_steps
+    assert sorted(evaluated) == checkpoint_steps(os.path.join(out, "model"))
+    assert on_disk["step"] == max(evaluated, key=evaluated.get)
+    # downstream restore prefers the selection
+    state = cli._restore(mcfg, tcfg, paths)
+    assert int(state.step) == sel["step"]
+    # explicit step overrides selection
+    latest = max(evaluated)
+    state = cli._restore(mcfg, tcfg, paths, step=latest)
+    assert int(state.step) == latest
+
+
 def test_resume_then_more_training(pipeline_out):
     """Auto-resume semantics: max_steps is a TOTAL budget. A resumed run
     completes the remaining schedule (not a full extra budget), and a budget
