@@ -50,7 +50,11 @@ def worker(host_idx: int, num_hosts: int, devices_per_host: int,
     mesh = make_mesh(dp=n_global, mp=1)
     assert len(jax.devices()) == n_global, len(jax.devices())
 
-    num_item = 255
+    # --efficiency runs a compute-dominated shape (otherwise per-dispatch
+    # overhead + localhost collective latency dominate and weak scaling
+    # measures the harness, not the sharded search)
+    scale = os.environ.get("NANN_MH_SCALE") == "1"
+    num_item = 16001 if scale else 255
     mcfg = ModelConfig(num_item=num_item, num_cate=10, emb_dim=8,
                        max_seq_length=6, item_tower_dims=(16, 16, 16),
                        head_dims=(16, 8, 8, 1))
@@ -85,8 +89,10 @@ def worker(host_idx: int, num_hosts: int, devices_per_host: int,
     from nann_tpu.search.distributed import make_distributed_searcher
     from jax.sharding import NamedSharding
 
-    scfg = SearchConfig(top_k_per_level=(32, 16, 8), topk_eval=(32,),
-                        frontier_cap=128)
+    scfg = SearchConfig(top_k_per_level=(200, 100, 50), topk_eval=(100,),
+                        frontier_cap=1024) if scale else \
+        SearchConfig(top_k_per_level=(32, 16, 8), topk_eval=(32,),
+                     frontier_cap=128)
     # identical deterministic index on every host (same ckpt-free params)
     item_ids, item_embs = extract_item_embeddings(
         state.params, state.bn_state, mcfg, feats)
@@ -94,8 +100,9 @@ def worker(host_idx: int, num_hosts: int, devices_per_host: int,
     if pad:
         item_ids = np.concatenate([item_ids, item_ids[:pad]])
         item_embs = np.concatenate([item_embs, item_embs[:pad]])
-    idx_dir = os.path.join(tempfile.gettempdir(),
-                           f"nann_mh_idx_{num_hosts}x{devices_per_host}")
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"nann_mh_idx_{num_hosts}x{devices_per_host}_{num_item}")
     if host_idx == 0 and not os.path.exists(
             os.path.join(idx_dir, "enter_points.npy")):
         build_and_save_index(item_embs, scfg.hnsw_start_level, 8, idx_dir,
@@ -109,7 +116,7 @@ def worker(host_idx: int, num_hosts: int, devices_per_host: int,
     art = load_index(idx_dir, scfg.hnsw_start_level, max_degree=16)
     sidx_local = SearchIndex.from_artifacts(art, item_embs, item_ids)
 
-    B = 2 * n_global
+    B = (32 if scale else 2) * n_global   # per-host batch constant (weak scaling)
     rng = np.random.default_rng(7)
     users = rng.standard_normal(
         (B, mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32)
@@ -170,8 +177,35 @@ def worker(host_idx: int, num_hosts: int, devices_per_host: int,
               f"loss={loss:.4f} search_parity={'ok' if search_ok else 'FAIL'} "
               f"mesh=dp{num_hosts}xmp{devices_per_host} "
               f"search_qps={qps:.1f} batch={B}", flush=True)
+        out_json = os.environ.get("NANN_MH_JSON")
+        if out_json:
+            import json
+            with open(out_json, "w") as f:
+                json.dump({"hosts": num_hosts,
+                           "devices_per_host": devices_per_host,
+                           "global_devices": n_global, "batch": B,
+                           "search_qps": round(qps, 1),
+                           "search_parity": bool(search_ok)}, f)
     assert search_ok, "distributed search != local reference"
     jax.distributed.shutdown()
+
+
+def _run(hosts: int, devices_per_host: int, port: int,
+         json_out: str = "") -> None:
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS",)}
+    env["JAX_PLATFORMS"] = "cpu"
+    if json_out:
+        env["NANN_MH_JSON"] = json_out
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__),
+         "--hosts", str(hosts),
+         "--devices-per-host", str(devices_per_host),
+         "--port", str(port), "--worker", str(i)],
+        env=env) for i in range(hosts)]
+    codes = [p.wait(timeout=600) for p in procs]
+    if any(codes):
+        raise SystemExit(f"worker failures: {codes}")
 
 
 def main() -> None:
@@ -179,6 +213,11 @@ def main() -> None:
     ap.add_argument("--hosts", type=int, default=2)
     ap.add_argument("--devices-per-host", type=int, default=4)
     ap.add_argument("--port", type=int, default=29517)
+    ap.add_argument("--efficiency", action="store_true",
+                    help="measure WEAK-scaling efficiency of the row-sharded "
+                         "serving search: per-host batch constant, "
+                         "eff = qps(N hosts) / (N * qps(1 host)). Writes "
+                         "runs/multihost_eff.json (BASELINE target #3).")
     ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -186,18 +225,34 @@ def main() -> None:
         worker(args.worker, args.hosts, args.devices_per_host, args.port)
         return
 
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("PALLAS_AXON_POOL_IPS",)}
-    env["JAX_PLATFORMS"] = "cpu"
-    procs = [subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__),
-         "--hosts", str(args.hosts),
-         "--devices-per-host", str(args.devices_per_host),
-         "--port", str(args.port), "--worker", str(i)],
-        env=env) for i in range(args.hosts)]
-    codes = [p.wait(timeout=300) for p in procs]
-    if any(codes):
-        raise SystemExit(f"worker failures: {codes}")
+    if args.efficiency:
+        import json
+        import tempfile
+        rows = []
+        for h in (1, args.hosts):
+            out = os.path.join(tempfile.gettempdir(), f"nann_mh_{h}.json")
+            if os.path.exists(out):
+                os.remove(out)
+            os.environ["NANN_MH_SCALE"] = "1"
+            _run(h, args.devices_per_host, args.port + h, json_out=out)
+            with open(out) as f:
+                rows.append(json.load(f))
+        q1, qN = rows[0]["search_qps"], rows[1]["search_qps"]
+        eff = qN / (args.hosts * q1)
+        result = {"rows": rows, "hosts": args.hosts,
+                  "weak_scaling_efficiency": round(eff, 3),
+                  "note": "CPU-process simulation: hosts are processes on "
+                          "one box sharing its cores, collectives ride "
+                          "jax.distributed over localhost — a DCN-semantics "
+                          "check with contention noise, not ICI hardware"}
+        os.makedirs(os.path.join(REPO, "runs"), exist_ok=True)
+        with open(os.path.join(REPO, "runs", "multihost_eff.json"), "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"MULTIHOST_EFF hosts={args.hosts} qps1={q1} qpsN={qN} "
+              f"efficiency={eff:.1%}", flush=True)
+        return
+
+    _run(args.hosts, args.devices_per_host, args.port)
 
 
 if __name__ == "__main__":
