@@ -32,6 +32,7 @@ import jax
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--items", type=int, default=200_000)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "int8"])
     ap.add_argument("--buckets", type=int, nargs="+", default=[16, 64, 128])
     ap.add_argument("--duration", type=float, default=8.0)
     ap.add_argument("--out", default=os.path.join(REPO, "runs",
@@ -43,7 +44,9 @@ def main():
                                   run_load_test)
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
-    mcfg, scfg, params, state, sidx = build_setup(args.items)
+    import jax.numpy as jnp
+    mcfg, scfg, params, state, sidx = build_setup(
+        args.items, dtype="int8" if args.dtype == "int8" else jnp.bfloat16)
 
     rows = []
     for b in args.buckets:
@@ -81,12 +84,17 @@ def main():
               f"{row['device_ms_per_batch_p50']:6.2f} ms  mean_batch "
               f"{row['mean_batch']}", flush=True)
 
-    # full ladder, saturated: what the shipped default achieves
-    eng = Engine(mcfg, scfg, params, state, sidx, EngineConfig(wait_ms=2.0))
+    # full ladder with CALIBRATION, saturated: what the shipped default
+    # (serving/engine.py calibrate) achieves — the serve bucket it picks is
+    # the row to compare against the per-bucket curve above
+    eng = Engine(mcfg, scfg, params, state, sidx,
+                 EngineConfig(wait_ms=2.0, calibrate=True))
     sat = run_load_test(eng, LoadGenConfig(duration_s=4.0, qps=-1),
                         verbose=False)
+    serve_b = eng._serve_cap
     eng.shutdown()
-    full = {"bucket": "ladder(1,4,16,64,128)",
+    full = {"bucket": "ladder(1,4,16,64,128)+calibrate",
+            "calibrated_serve_bucket": serve_b,
             "saturated_qps": round(sat["qps"], 1),
             "mean_batch": round(sat["mean_batch"], 1)}
     rows.append(full)
@@ -95,7 +103,9 @@ def main():
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
-        json.dump({"items": args.items, "rows": rows}, f, indent=1)
+        json.dump({"items": args.items, "dtype": args.dtype,
+                   "frontier_cap": scfg.frontier_cap, "rows": rows}, f,
+                  indent=1)
     print(json.dumps({"engine_curve": rows}))
 
 

@@ -1,0 +1,80 @@
+#!/usr/bin/env bash
+# Round-4 TPU batch (serialized on the one relay chip), run AFTER the 90k-step
+# training continuation finishes:
+#
+#   1. select_checkpoint over every retained checkpoint (the oracle-vs-steps
+#      curve + deploy-by-oracle winner; VERDICT r3 items 1-2)
+#   2. extract + rebuild the 4.2M index from the winner
+#   3. parity at 4096 users (catalogue-aware cap 8192)
+#   4. export (signature now carries cap 8192 + the selected step) + verify
+#   5. scale ladder incl. the never-measured 8M device-true point (item 6)
+#   6. engine curve at 4.2M int8 (item 8)
+#   7. bench.py re-warm (new compile keys: cap 8192 at 4.2M, calibration)
+#   8. profiler attempt (item 10; expected environment-blocked — logged)
+#
+# Stages don't abort the batch on failure (each is independently valuable);
+# the log carries per-stage rc.
+set -u
+cd "$(dirname "$0")/.."
+ROOT=runs/ub_structured
+DATA=$ROOT/data
+OUT=$ROOT/out
+
+stage() { echo "=== $1 $(date -u +%H:%M:%S)"; }
+
+# every retained checkpoint except step_1 (the untrained init tells us
+# nothing at 15 min/eval)
+STEPS=$(ls "$OUT/model" | grep '^step_' | sed 's/step_//' | sort -n \
+        | grep -vx 1 | tr '\n' ' ')
+stage "select_checkpoint (steps: $STEPS)"
+python -m nann_tpu.main --job-type select_checkpoint --dataset-dir "$DATA" \
+  --output-root "$OUT" --num-test-batch 1024 --select-steps $STEPS
+echo "rc=$?"
+
+stage extract_feature
+python -m nann_tpu.main --job-type extract_feature --dataset-dir "$DATA" \
+  --output-root "$OUT"
+echo "rc=$?"
+
+stage build_index
+python -m nann_tpu.main --job-type build_index --dataset-dir "$DATA" \
+  --output-root "$OUT" --ef-construction 100
+echo "rc=$?"
+
+stage parity
+python -m nann_tpu.main --job-type parity --dataset-dir "$DATA" \
+  --output-root "$OUT" --num-test-batch 4096
+echo "rc=$?"
+
+stage export
+python -m nann_tpu.main --job-type export --dataset-dir "$DATA" \
+  --output-root "$OUT"
+echo "rc=$?"
+
+stage verify_export
+python -m nann_tpu.main --job-type verify_export --dataset-dir "$DATA" \
+  --output-root "$OUT"
+echo "rc=$?"
+
+stage "ladder (200k/1M/4.2M/8M, device-true)"
+python scripts/ladder_bench.py \
+  --points 200000 1000000 4200000 8000000 \
+  --out runs/ladder_r4.json
+echo "rc=$?"
+
+stage "engine_curve 4.2M int8"
+python scripts/engine_curve.py --items 4200000 --dtype int8 \
+  --out runs/engine_curve_4p2m.json
+echo "rc=$?"
+
+stage "bench re-warm"
+python bench.py
+echo "rc=$?"
+
+stage "profiler attempt (SURVEY 5.1; relay-blocked in r2+r3)"
+timeout 600 python bench.py --quick --items 20000 \
+  --profile /tmp/nann_trace_r4
+echo "PROFILER_ATTEMPT rc=$?"
+ls /tmp/nann_trace_r4 2>/dev/null || echo "no trace produced"
+
+echo "TPU_BATCH_R4_DONE $(date -u +%H:%M:%S)"
