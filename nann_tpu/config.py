@@ -102,6 +102,14 @@ class SearchConfig:
     # This single knob replaces the reference's 75-bucket warmup ladder:
     # the fused program has exactly one frontier shape per hop.
     frontier_cap: int = 4096
+    # Optional PER-HOP frontier capacities, one per expansion hop in search
+    # order (levels start-1..0, num_scoring_per_level[level] hops each; the
+    # enter-point scoring is not a hop). The measured hop profile at 4.2M is
+    # strongly non-uniform (L1 hop ~2.8k mean / 3.1k max vs ground hop 1
+    # saturating 8192 — runs/tpu_batch_r3d.log), so one global cap pads the
+    # cheap hops to the expensive hop's width; per-hop caps cut that padded
+    # scorer work. None = use frontier_cap everywhere.
+    frontier_cap_per_hop: Optional[Sequence[int]] = None
     # top-k implementation inside the fused search:
     #   "exact"  = lax.top_k — bit-exact reference semantics, but XLA lowers
     #              it to a FULL SORT on TPU;
@@ -157,6 +165,19 @@ class SearchConfig:
         assert self.hop_mode in ("filtered", "wide"), self.hop_mode
         assert self.vis_impl in ("bytemap", "list"), self.vis_impl
         assert self.mark_policy in ("all", "scored"), self.mark_policy
+        if self.frontier_cap_per_hop is not None:
+            hops = sum(self.num_scoring_per_level[:self.hnsw_start_level])
+            assert len(self.frontier_cap_per_hop) == hops, (
+                f"frontier_cap_per_hop needs one entry per expansion hop "
+                f"({hops} for levels {self.hnsw_start_level - 1}..0), got "
+                f"{len(self.frontier_cap_per_hop)}")
+
+    def hop_cap(self, hop_index: int) -> int:
+        """Frontier capacity of the hop_index-th expansion hop (0-based, in
+        search order)."""
+        if self.frontier_cap_per_hop is not None:
+            return int(self.frontier_cap_per_hop[hop_index])
+        return self.frontier_cap
 
 
 @dataclasses.dataclass

@@ -142,6 +142,8 @@ def load_search_config(export_dir: str) -> SearchConfig:
         d = dict(sig["search_config"])
         for k in ("num_scoring_per_level", "top_k_per_level", "topk_eval"):
             d[k] = tuple(d[k])
+        if d.get("frontier_cap_per_hop") is not None:
+            d["frontier_cap_per_hop"] = tuple(d["frontier_cap_per_hop"])
         return SearchConfig(**d)
     return SearchConfig(semantics=sig.get("semantics", "eval"))
 

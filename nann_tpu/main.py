@@ -92,6 +92,12 @@ def parse_opt(argv=None) -> argparse.Namespace:
                         "catalogue-aware (config.default_frontier_cap: 4096 "
                         "up to 2M items, 8192 beyond — the measured at-scale "
                         "setting, round-3 gap analysis)")
+    p.add_argument("--frontier-cap-per-hop", type=int, nargs="+",
+                   default=None,
+                   help="per-expansion-hop frontier capacities (one per hop "
+                        "in search order; see SearchConfig). The measured "
+                        "hop profile is non-uniform at scale, so this cuts "
+                        "padded scorer work vs one global cap")
     p.add_argument("--hnsw-num-neighbors", type=int, default=32)
     p.add_argument("--ef-construction", type=int, default=200)
     p.add_argument("--search-batch", type=int, default=16)
@@ -149,6 +155,8 @@ def build_configs(args) -> Tuple[ModelConfig, TrainConfig, SearchConfig]:
         top_k_per_level=tuple(min(t, num_item) for t in args.top_k_per_level),
         topk_eval=tuple(min(t, num_item) for t in args.topk_eval),
         frontier_cap=args.frontier_cap or default_frontier_cap(num_item),
+        frontier_cap_per_hop=tuple(args.frontier_cap_per_hop)
+        if args.frontier_cap_per_hop else None,
         semantics=args.search_semantics,
         vis_impl=args.vis_impl, mark_policy=args.mark_policy)
     return mcfg, tcfg, scfg

@@ -615,8 +615,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
             for _ in range(scfg.num_scoring_per_level[level]):
                 fresh, fscores, vis, cnt = expand(
                     params, state, index, user_seq_emb, vis, epoch, level,
-                    cand_ids, cand_scores, scfg.frontier_cap, n,
-                    mix=len(num_scoring))
+                    cand_ids, cand_scores, scfg.hop_cap(len(num_scoring) - 1),
+                    n, mix=len(num_scoring))
                 num_scoring.append(cnt)
                 res_ids, res_scores = _masked_topk(
                     jnp.concatenate([res_ids, fresh]),
@@ -667,8 +667,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
             for _ in range(scfg.num_scoring_per_level[level]):
                 fresh, fscores, vis, cnt = expand(
                     params, state, index, user_seq_emb, vis, epoch, level,
-                    cand_ids, cand_scores, scfg.frontier_cap, n,
-                    mix=len(num_scoring))
+                    cand_ids, cand_scores, scfg.hop_cap(len(num_scoring) - 1),
+                    n, mix=len(num_scoring))
                 num_scoring.append(cnt)
                 merged_ids = jnp.concatenate([res_ids, fresh])
                 merged_scores = jnp.concatenate([res_scores, fscores])
@@ -687,8 +687,8 @@ def make_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
         for i in range(hop_caps):
             fresh, fscores, vis, cnt = expand(
                 params, state, index, user_seq_emb, vis, epoch, 0,
-                cand_ids, cand_scores, scfg.frontier_cap, n,
-                mix=len(num_scoring))
+                cand_ids, cand_scores, scfg.hop_cap(len(num_scoring) - 1),
+                n, mix=len(num_scoring))
             num_scoring.append(cnt)
             cand_ids, cand_scores = _masked_topk(
                 fresh, fscores, k_hop_cap, level_topn[t + i], sentinel)

@@ -78,6 +78,12 @@ def make_staged_searcher(mcfg: ModelConfig, scfg: SearchConfig, *,
     if scfg.hop_mode != "filtered":
         raise NotImplementedError("staged execution requires hop_mode="
                                   "'filtered'")
+    if scfg.frontier_cap_per_hop is not None:
+        raise NotImplementedError(
+            "staged execution compiles ONE filter/score program per level "
+            "and reuses it across that level's hops, so hop-varying frontier "
+            "caps don't fit its program cache; use the fused searcher "
+            "(search/beam.py) for frontier_cap_per_hop")
     be = default_backend(scfg)
     # the list-backend's vis shape grows per hop, so hop outputs can never
     # alias the donated input buffer — skip donation there

@@ -244,3 +244,38 @@ def test_approx_topk_impl_contract(search_setup):
     bset = set(np.asarray(bi)[np.asarray(bi) >= 0].tolist())
     overlap = len(bset & set(got.tolist())) / max(len(bset), 1)
     assert overlap >= 0.9, overlap
+
+
+def test_per_hop_frontier_caps(search_setup):
+    """frontier_cap_per_hop: equal-to-scalar caps are bit-identical to the
+    scalar config; a big-enough-per-hop profile (each hop's measured need)
+    matches too; validate() rejects a wrong-length list."""
+    import dataclasses
+    mcfg, state, test, sidx, scfg = search_setup
+    user = extract_user_embeddings(state.params, {k: test[k][:1] for k in test})
+    ltn = jnp.asarray(level_topn_default(scfg))
+    base = jax.jit(make_searcher(mcfg, scfg))
+    ref_items, ref_scores, ref_ns = base(state.params, state.bn_state, sidx,
+                                         jnp.asarray(user[0]), ltn)
+
+    same = dataclasses.replace(scfg, frontier_cap_per_hop=(1024,) * 4)
+    got = jax.jit(make_searcher(mcfg, same))(
+        state.params, state.bn_state, sidx, jnp.asarray(user[0]), ltn)
+    np.testing.assert_array_equal(np.asarray(ref_items), np.asarray(got[0]))
+
+    # per-hop caps sized above each hop's actual expansion leave results
+    # identical (truncation never engages); smaller upper-level caps are the
+    # padded-work optimization this knob exists for
+    ns = np.asarray(ref_ns)[1:]      # per-hop scored counts (ep excluded)
+    caps = tuple(int(2 ** np.ceil(np.log2(max(c, 2) * 2))) for c in ns)
+    prof = dataclasses.replace(scfg, frontier_cap_per_hop=caps)
+    got2 = jax.jit(make_searcher(mcfg, prof))(
+        state.params, state.bn_state, sidx, jnp.asarray(user[0]), ltn)
+    items2 = np.asarray(got2[0])
+    ref = np.asarray(ref_items)
+    overlap = len(set(ref[ref >= 0]) & set(items2[items2 >= 0])) / max(
+        (ref >= 0).sum(), 1)
+    assert overlap > 0.9, overlap
+
+    with pytest.raises(AssertionError):
+        dataclasses.replace(scfg, frontier_cap_per_hop=(512,)).validate()
