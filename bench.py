@@ -56,7 +56,11 @@ def build_setup(num_items: int, seed: int = 0, reorder: str = None,
         # catalogue-aware cap: 4096 <= 2M items, 8192 beyond — the bench
         # measures qps at the setting that actually delivers the recall
         frontier_cap=int(os.environ.get("NANN_BENCH_FCAP", 0))
-        or default_frontier_cap(num_items))
+        or default_frontier_cap(num_items),
+        # per-hop capacities, e.g. NANN_BENCH_FCAP_HOPS=4096,8192,8192,8192
+        frontier_cap_per_hop=tuple(
+            int(x) for x in os.environ["NANN_BENCH_FCAP_HOPS"].split(","))
+        if os.environ.get("NANN_BENCH_FCAP_HOPS") else None)
     params, state = init_scorer(jax.random.PRNGKey(seed), mcfg)
 
     rng = np.random.default_rng(seed)

@@ -67,6 +67,8 @@ def main():
                    # 4.2M/8M rows run at 8192 — the at-scale quality setting
                    # — so qps is measured where the recall actually is
                    "frontier_cap": scfg.frontier_cap}
+            if scfg.frontier_cap_per_hop:
+                row["frontier_cap_per_hop"] = list(scfg.frontier_cap_per_hop)
             for b in (16, 64):
                 userB = jnp.asarray(rng.standard_normal(
                     (b, mcfg.max_seq_length, mcfg.user_emb_dim)

@@ -51,6 +51,23 @@ stage "bench re-warm"
 python bench.py
 echo "rc=$?"
 
+stage "per-hop frontier-cap A/B at 4.2M (device-true throughput)"
+# measured hop profile at 4.2M: L1 ~2.8k mean / 3.1k max — cap it at 4096
+# while ground hops keep 8192 (runs/tpu_batch_r3d.log); vs the scalar-8192
+# int8 row in runs/ladder_r4.json
+NANN_BENCH_FCAP_HOPS=4096,8192,8192,8192 python scripts/ladder_bench.py \
+  --points 4200000 --dtypes int8 --out runs/ladder_r4_perhop.json
+echo "rc=$?"
+
+stage "per-hop frontier-cap A/B at 4.2M (recall, 1024 users)"
+python -m nann_tpu.main --job-type test --dataset-dir "$DATA" \
+  --output-root "$OUT" --num-test-batch 1024 2>&1 | tail -3
+echo "rc=$? (scalar 8192)"
+python -m nann_tpu.main --job-type test --dataset-dir "$DATA" \
+  --output-root "$OUT" --num-test-batch 1024 \
+  --frontier-cap-per-hop 4096 8192 8192 8192 2>&1 | tail -3
+echo "rc=$? (per-hop 4096,8192,8192,8192)"
+
 stage "profiler attempt (SURVEY 5.1; relay-blocked in r2+r3)"
 timeout 600 python bench.py --quick --items 20000 \
   --profile /tmp/nann_trace_r4
