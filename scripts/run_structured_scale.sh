@@ -43,10 +43,12 @@ python -m nann_tpu.main --job-type train "${COMMON[@]}" \
 echo "=== select_checkpoint (deploy-by-oracle) $(date -u +%H:%M:%S)"
 # the reference deploys the checkpoint test_all likes best (main.py:194-237);
 # exporting the newest one shipped a degraded model at 4.2M in round 3
-# (57.4% vs 67.3% oracle). 1024 users is the screening slice; the parity
-# stage re-measures the winner on the full 4096.
+# (57.4% vs 67.3% oracle). Screening runs bf16 on a 512-user slice (~4x
+# faster oracle; selection is a RELATIVE comparison, so consistent-across-
+# checkpoints numerics is all it needs); the parity stage re-measures the
+# winner fp32 on the full 4096 users.
 python -m nann_tpu.main --job-type select_checkpoint "${COMMON[@]}" \
-  --num-test-batch 1024
+  --num-test-batch 512 --bf16
 
 echo "=== extract_feature $(date -u +%H:%M:%S)"
 python -m nann_tpu.main --job-type extract_feature "${COMMON[@]}"
