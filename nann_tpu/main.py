@@ -432,8 +432,24 @@ def job_select_checkpoint(args, mcfg, tcfg, scfg, paths):
     if not steps:
         raise SystemExit(f"no checkpoints in {paths.model_save_dir}")
     key = f"recall@{max(args.topk_eval)}"
+    n_users = min(args.num_test_batch, len(test["gt_item_id"]))
+    # per-checkpoint evals are minutes each at 4.2M scale and the relay can
+    # drop mid-job (babysit.sh restarts the whole command) — cache each
+    # finished eval so a restart skips straight to the unfinished ones.
+    # Keyed by (users, dtype): a different slice or numerics is a new screen.
+    cache_path = os.path.join(
+        paths.model_save_dir,
+        f"select_cache_u{n_users}_{mcfg.compute_dtype}.json")
     results = {}
+    if os.path.exists(cache_path):
+        with open(cache_path) as f:
+            results = {int(k): v for k, v in json.load(f).items()}
+        logger.info(f"resuming selection: {sorted(results)} cached")
     for step in steps:
+        if step in results:
+            logger.info(f"checkpoint step_{step}: cached {key} "
+                        f"{results[step][key]:.2%}")
+            continue
         t0 = time.time()
         state = _restore(mcfg, tcfg, paths, step=step)
         item_ids, item_embs = extract_item_embeddings(
@@ -443,6 +459,8 @@ def job_select_checkpoint(args, mcfg, tcfg, scfg, paths):
         results[step] = res
         logger.info(f"checkpoint step_{step}: oracle {key} "
                     f"{res[key]:.2%} ({time.time() - t0:.0f}s)")
+        with open(cache_path, "w") as f:
+            json.dump({str(s): r for s, r in results.items()}, f)
         del state, item_embs
     best = max(results, key=lambda s: results[s][key])
     sel = {"step": best, "metric": key, "oracle": results[best],
