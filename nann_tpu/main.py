@@ -454,8 +454,10 @@ def job_select_checkpoint(args, mcfg, tcfg, scfg, paths):
         state = _restore(mcfg, tcfg, paths, step=step)
         item_ids, item_embs = extract_item_embeddings(
             state.params, state.bn_state, mcfg, feats)
+        # quiet=False: the per-slice progress lines double as the liveness
+        # signal for the babysit.sh log-silence watchdog
         res = _oracle_recall(args, mcfg, state, jnp.asarray(item_embs),
-                             item_ids, test, quiet=True)
+                             item_ids, test)
         results[step] = res
         logger.info(f"checkpoint step_{step}: oracle {key} "
                     f"{res[key]:.2%} ({time.time() - t0:.0f}s)")
