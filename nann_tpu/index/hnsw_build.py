@@ -72,9 +72,28 @@ def build_hnsw(embeddings: np.ndarray, M: int = 32, ef_construction: int = 200,
     n, d = emb.shape
     if num_threads <= 0:
         num_threads = min(os.cpu_count() or 1, 8)
-    handle = lib.nann_hnsw_build(
-        emb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        n, d, M, ef_construction, seed, num_threads)
+    # heartbeat while the native call runs (ctypes releases the GIL): a
+    # multi-M build is silent for ~35 min otherwise, which a log-silence
+    # watchdog (scripts/babysit.sh) reads as a hang and kills
+    import threading
+    import time as _time
+    done = threading.Event()
+
+    def _beat():
+        t0 = _time.time()
+        while not done.wait(120):
+            logger.info(f"hnsw build running ({n} nodes, "
+                        f"{_time.time() - t0:.0f}s elapsed)")
+
+    beat = threading.Thread(target=_beat, daemon=True)
+    beat.start()
+    try:
+        handle = lib.nann_hnsw_build(
+            emb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n, d, M, ef_construction, seed, num_threads)
+    finally:
+        done.set()
+        beat.join(timeout=1)
     if not handle:
         raise RuntimeError("nann_hnsw_build failed")
     try:
