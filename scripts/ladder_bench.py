@@ -57,9 +57,11 @@ def main():
             continue
         for dtype in args.dtypes:
             t0 = time.time()
+            print(f"# setup {items} {dtype} ...", flush=True)
             mcfg, scfg, params, state, sidx = build_setup(
                 items, dtype="int8" if dtype == "int8" else jnp.bfloat16,
                 reorder=args.reorder)
+            print(f"# setup done {time.time() - t0:.0f}s", flush=True)
             searcher = make_searcher(mcfg, scfg)
             ltn = jnp.asarray(level_topn_default(scfg))
             row = {"items": items, "dtype": dtype,
@@ -78,6 +80,8 @@ def main():
                 ms = timed(fB, params, state, sidx, userB, ltn,
                            reps=max(args.reps // (2 if b == 64 else 1), 5))
                 row[f"qps_b{b}"] = round(b / ms * 1e3, 1)
+                print(f"# b{b} dispatched {row[f'qps_b{b}']} qps "
+                      f"({time.time() - t0:.0f}s)", flush=True)
                 # device-true: chain the batched program on-chip — the
                 # dispatch-pipelined number above is capped by the relay
                 # tunnel's input bandwidth (~30-45 MB/s) at these batches
@@ -98,6 +102,8 @@ def main():
                 jax.block_until_ready(chB(params, state, sidx, userB, ltn))
                 row[f"dev_qps_b{b}"] = round(
                     b * N / (time.perf_counter() - t1), 1)
+                print(f"# b{b} device-true {row[f'dev_qps_b{b}']} qps "
+                      f"({time.time() - t0:.0f}s)", flush=True)
                 if b == 16:
                     out = fB(params, state, sidx, userB, ltn)
                     row["scored_per_query"] = int(
