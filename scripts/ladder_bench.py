@@ -47,7 +47,15 @@ def main():
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
     rng = np.random.default_rng(1)
+    # row-level resume: a watchdog restart (relay hang) skips finished rows
     rows = []
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            rows = json.load(f)
+        if rows:
+            print(f"# resuming: {[(r['items'], r['dtype']) for r in rows]} "
+                  f"done", flush=True)
+    done_keys = {(r["items"], r["dtype"]) for r in rows}
     for items in args.points:
         key = hashlib.md5(f"{items}-0-M32".encode()).hexdigest()[:12]
         if not os.path.exists(os.path.join(REPO, ".bench_cache", key,
@@ -56,6 +64,8 @@ def main():
                   f"prebuild_bench_index.py) — skipped", flush=True)
             continue
         for dtype in args.dtypes:
+            if (items, dtype) in done_keys:
+                continue
             t0 = time.time()
             print(f"# setup {items} {dtype} ...", flush=True)
             mcfg, scfg, params, state, sidx = build_setup(
@@ -129,6 +139,8 @@ def main():
                     (time.perf_counter() - t1) / N * 1e3, 3)
             row["setup_s"] = round(time.time() - t0, 1)
             rows.append(row)
+            with open(args.out, "w") as f:
+                json.dump(rows, f, indent=1)
             print(f"{items:>9d} {dtype:>5s}: b16 {row['qps_b16']:7.1f} qps "
                   f"(dev {row.get('dev_qps_b16', 0):7.1f})  "
                   f"b64 {row.get('qps_b64', 0):7.1f} qps "
