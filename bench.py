@@ -348,11 +348,10 @@ def main():
                                   calibrate=True))
         serve_b = eng._serve_cap
         extras["engine_serve_bucket"] = serve_b
-        # pace at 70% of the ENGINE's measured capacity at the calibrated
-        # bucket so percentiles measure service latency, not queue growth
-        cal = run_load_test(eng, LoadGenConfig(duration_s=2.0, qps=-1),
-                            verbose=False)
-        target_qps = max(0.7 * cal["qps"], 20.0)
+        # pace at 70% of the engine's measured capacity at the calibrated
+        # bucket (calibration IS a saturated load test through the live
+        # engine) so percentiles measure service latency, not queue growth
+        target_qps = max(0.7 * eng.bucket_qps[serve_b], 20.0)
         # Match the micro-batch window to the paced rate: saturated
         # calibration forms full batches (deep queue), but at 70% load a
         # short window dispatches tiny batches whose per-batch host sync
