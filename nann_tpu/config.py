@@ -53,6 +53,18 @@ class TrainConfig:
     batch_size: int = 800
     train_epochs: int = 5
     learning_rate: float = 3e-3
+    # lr schedule: "constant" (reference behavior, nann/config.py:26) or
+    # "cosine" (decay to learning_rate * lr_final_ratio over the step budget).
+    # Measured motivation: at 4.2M items the oracle ceiling DEGRADES
+    # monotonically past step 10001 at constant 3e-3 (66.0% -> 54.3% over
+    # 50k steps, docs/DESIGN.md round 4) — classic too-hot-late-training that
+    # the reference's 5-epoch schedule never sees on its smaller per-step
+    # corpus. Warmup applies to either schedule.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    lr_final_ratio: float = 0.01
+    # cosine decay horizon; 0 = the loop's total step budget
+    lr_total_steps: int = 0
     weight_decay: float = 1e-4
     adv_eps: float = 3e-5             # FGSM epsilon; 0 disables
     adv_weight: float = 1.0

@@ -63,6 +63,13 @@ def parse_opt(argv=None) -> argparse.Namespace:
     p.add_argument("--train-epochs", type=int, default=5)
     p.add_argument("--emb-dim", type=int, default=32)
     p.add_argument("--learning-rate", type=float, default=3e-3)
+    p.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "cosine"],
+                   help="cosine decays to lr*lr-final-ratio over --max-steps "
+                        "(measured fix for the at-scale late-training ceiling "
+                        "degradation, docs/DESIGN.md round 4)")
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--lr-final-ratio", type=float, default=0.01)
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--adv-eps", type=float, default=3e-5)
     p.add_argument("--adv-weight", type=float, default=1.0)
@@ -145,6 +152,8 @@ def build_configs(args) -> Tuple[ModelConfig, TrainConfig, SearchConfig]:
     tcfg = TrainConfig(
         batch_size=args.batch_size, train_epochs=args.train_epochs,
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+        lr_final_ratio=args.lr_final_ratio,
         adv_eps=args.adv_eps, adv_weight=args.adv_weight,
         num_neg=min(args.num_neg, max(num_item // args.batch_size, 1)),
         save_freq=args.save_freq, print_freq=args.print_freq, dp=args.dp)
@@ -225,12 +234,20 @@ def _restore(mcfg, tcfg, paths, step: Optional[int] = None,
              prefer_selected: bool = True):
     """Restore a checkpoint: explicit `step` > the select_checkpoint winner
     (deploy-by-oracle, reference main.py:194-237 flow) > the latest."""
+    import dataclasses
+
     import jax
     from .train import create_train_state
     from .train.dataclasses_io import restore_train_state
     from .train.loop import latest_checkpoint_step
 
-    state, tx = create_train_state(jax.random.PRNGKey(tcfg.seed), mcfg, tcfg)
+    # restore-only skeleton: the lr schedule is irrelevant (no optimizer
+    # steps run) and opt_state structure is schedule-invariant
+    # (train/step.py lr_schedule_fn), so a constant-lr skeleton restores
+    # checkpoints trained under any schedule without needing the horizon
+    skel_tcfg = dataclasses.replace(tcfg, lr_schedule="constant")
+    state, tx = create_train_state(jax.random.PRNGKey(tcfg.seed), mcfg,
+                                   skel_tcfg)
     how = "requested"
     if step is None and prefer_selected:
         step = _selected_step(paths)

@@ -72,7 +72,13 @@ def train_loop(mcfg: ModelConfig, tcfg: TrainConfig,
     from ..data import BatchIterator
 
     feats = {k: jnp.asarray(v) for k, v in item_features.items()}
-    state, tx = create_train_state(jax.random.PRNGKey(tcfg.seed), mcfg, tcfg)
+    it = BatchIterator(train_data, tcfg.batch_size, epochs=tcfg.train_epochs,
+                       drop_remainder=True, seed=tcfg.seed, mesh=mesh)
+    # num_steps is the TOTAL global-step budget; it doubles as the cosine
+    # decay horizon (lr_schedule_fn) unless tcfg.lr_total_steps pins one
+    total = len(it) if num_steps is None else num_steps
+    state, tx = create_train_state(jax.random.PRNGKey(tcfg.seed), mcfg, tcfg,
+                                   total_steps=total)
     step_fn = make_train_step(mcfg, tcfg, tx, feats, mesh=mesh)
 
     start_step = 0
@@ -84,12 +90,9 @@ def train_loop(mcfg: ModelConfig, tcfg: TrainConfig,
                                         state)
             start_step = resume
 
-    it = BatchIterator(train_data, tcfg.batch_size, epochs=tcfg.train_epochs,
-                       drop_remainder=True, seed=tcfg.seed, mesh=mesh)
-    # num_steps is the TOTAL global-step budget; a resumed run completes the
-    # REMAINING schedule from where it stopped (data position fast-forwarded,
-    # not replayed) instead of training a full extra budget on repeated data
-    total = len(it) if num_steps is None else num_steps
+    # a resumed run completes the REMAINING schedule from where it stopped
+    # (data position fast-forwarded, not replayed; the optimizer step count —
+    # and with it the lr schedule — restores from opt_state)
     if start_step >= total:
         logger.info(f"resume step {start_step} >= budget {total}; nothing to do")
         return state, {}

@@ -34,10 +34,40 @@ class TrainState:
     step: jnp.ndarray
 
 
-def create_train_state(rng: jax.Array, mcfg: ModelConfig, tcfg: TrainConfig
+def lr_schedule_fn(tcfg: TrainConfig, total_steps: Optional[int] = None):
+    """Learning-rate schedule from TrainConfig.
+
+    Always returns an optax schedule callable — even for constant lr — so
+    the opt_state pytree structure (ScaleByScheduleState.count) is identical
+    across schedules: any checkpoint restores into any skeleton, and the
+    checkpointed count resumes the schedule where it stopped.
+    """
+    base = tcfg.learning_rate
+    horizon = tcfg.lr_total_steps or total_steps or 0
+    if tcfg.lr_schedule == "constant":
+        if tcfg.warmup_steps <= 0:
+            return optax.schedules.constant_schedule(base)
+        return optax.schedules.linear_schedule(
+            init_value=0.0, end_value=base,
+            transition_steps=tcfg.warmup_steps)
+    if tcfg.lr_schedule == "cosine":
+        if horizon <= 0:
+            raise ValueError("lr_schedule='cosine' needs a decay horizon: "
+                             "set lr_total_steps or pass total_steps")
+        return optax.schedules.warmup_cosine_decay_schedule(
+            init_value=0.0 if tcfg.warmup_steps > 0 else base,
+            peak_value=base, warmup_steps=max(tcfg.warmup_steps, 0),
+            decay_steps=horizon, end_value=base * tcfg.lr_final_ratio)
+    raise ValueError(f"unknown lr_schedule {tcfg.lr_schedule!r} "
+                     "(constant|cosine)")
+
+
+def create_train_state(rng: jax.Array, mcfg: ModelConfig, tcfg: TrainConfig,
+                       total_steps: Optional[int] = None,
                        ) -> Tuple[TrainState, optax.GradientTransformation]:
     params, bn_state = scorer.init_scorer(rng, mcfg)
-    tx = optax.adamw(tcfg.learning_rate, weight_decay=tcfg.weight_decay)
+    tx = optax.adamw(lr_schedule_fn(tcfg, total_steps),
+                     weight_decay=tcfg.weight_decay)
     opt_state = tx.init(params)
     return TrainState(params, bn_state, opt_state, jnp.zeros((), jnp.int32)), tx
 

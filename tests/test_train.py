@@ -163,3 +163,44 @@ def test_batch_iterator_prefetch_matches_sync(setup):
         time.sleep(0.1)
         deadline -= 1
     assert deadline, "prefetch worker did not exit after abandonment"
+
+
+def test_lr_schedule_fn_values():
+    """Cosine: warmup 0->peak, then decay to peak*final_ratio at the horizon;
+    constant stays a plain float (no schedule state)."""
+    from nann_tpu.train.step import lr_schedule_fn
+    tcfg = TrainConfig(learning_rate=3e-3)
+    assert float(lr_schedule_fn(tcfg)(0)) == pytest.approx(3e-3)
+
+    tcfg = TrainConfig(learning_rate=3e-3, lr_schedule="cosine",
+                       warmup_steps=10, lr_final_ratio=0.01)
+    sched = lr_schedule_fn(tcfg, total_steps=100)
+    assert float(sched(0)) == pytest.approx(0.0)
+    assert float(sched(10)) == pytest.approx(3e-3)
+    assert float(sched(100)) == pytest.approx(3e-5, rel=1e-3)
+
+    with pytest.raises(ValueError):
+        lr_schedule_fn(TrainConfig(lr_schedule="cosine"))  # no horizon
+    with pytest.raises(ValueError):
+        lr_schedule_fn(TrainConfig(lr_schedule="nope"), total_steps=10)
+
+
+def test_cosine_schedule_trains_and_resumes(setup, tmp_path):
+    """train_loop with lr_schedule='cosine' runs, checkpoints, and a resumed
+    run continues the schedule (optimizer count restores from opt_state)."""
+    from nann_tpu.train.loop import train_loop
+
+    mcfg, _tcfg, train, feats = setup
+    feats_np = {k: np.asarray(v) for k, v in feats.items()}
+    tcfg = TrainConfig(batch_size=32, num_neg=8, learning_rate=1e-3,
+                       lr_schedule="cosine", warmup_steps=2, adv_eps=1e-3,
+                       save_freq=4, print_freq=100)
+    ckpt = str(tmp_path / "ckpt")
+    state, _ = train_loop(mcfg, tcfg, train, feats_np, ckpt_dir=ckpt,
+                          num_steps=6)
+    assert int(state.step) == 6
+    # the optimizer count (schedule position) is checkpointed
+    state2, _ = train_loop(mcfg, tcfg, train, feats_np, ckpt_dir=ckpt,
+                           num_steps=10)
+    assert int(state2.step) == 10
+    assert int(state2.opt_state[0].count) == 10  # ScaleByAdamState.count
