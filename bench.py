@@ -352,19 +352,35 @@ def main():
         # bucket (calibration IS a saturated load test through the live
         # engine) so percentiles measure service latency, not queue growth
         target_qps = max(0.7 * eng.bucket_qps[serve_b], 20.0)
-        # Match the micro-batch window to the paced rate: saturated
-        # calibration forms full batches (deep queue), but at 70% load a
-        # short window dispatches tiny batches whose per-batch host sync
-        # (~31 ms through the CI relay) collapses capacity below the paced
-        # rate — the queue then pins at max depth and the "percentiles"
-        # measure queue capacity (~1.1 s), not service. Half-bucket window
-        # at the target rate keeps batches big enough to amortize the sync.
-        eng.config.wait_ms = min(200.0, max(
-            eng.config.wait_ms, 1e3 * serve_b / (2.0 * target_qps)))
-        eng.metrics.latency_us = type(eng.metrics.latency_us)()  # drop
-        # saturated calibration samples from the reported distribution
-        res = run_load_test(
-            eng, LoadGenConfig(duration_s=8.0, qps=target_qps), verbose=False)
+        for attempt in range(3):
+            # Match the micro-batch window to the paced rate: saturated
+            # calibration forms full batches (deep queue), but at 70% load a
+            # short window dispatches tiny batches whose per-batch host sync
+            # (~31 ms through the CI relay) collapses capacity below the
+            # paced rate — the queue then pins at max depth and the
+            # "percentiles" measure queue capacity, not service. Half-bucket
+            # window at the target rate keeps batches big enough to amortize
+            # the sync.
+            eng.config.wait_ms = min(200.0, max(
+                2.0, 1e3 * serve_b / (2.0 * target_qps)))
+            eng.metrics.latency_us = type(eng.metrics.latency_us)()  # drop
+            # calibration / overloaded-attempt samples from the distribution
+            res = run_load_test(
+                eng, LoadGenConfig(duration_s=8.0, qps=target_qps),
+                verbose=False)
+            # Feedback pacing: the paced regime (windowed batching, paced
+            # producers, whatever else the host is doing) can sustain less
+            # than saturated calibration promised; when it does, the queue
+            # pins at max depth and latency measures queue residence, not
+            # service. Re-pace at 70% of what THIS regime actually served.
+            if res["qps"] >= 0.85 * target_qps:
+                break
+            print(f"# paced run unstable (served {res['qps']:.0f} of "
+                  f"{target_qps:.0f} target) — re-pacing", file=sys.stderr)
+            target_qps = max(0.7 * res["qps"], 20.0)
+            t_drain = time.perf_counter() + 15.0
+            while eng.depth() and time.perf_counter() < t_drain:
+                time.sleep(0.01)
         lat = eng.metrics.latency_us.snapshot()
         dev = eng.metrics.device_us.snapshot()
         eng.shutdown()

@@ -45,9 +45,19 @@ def run_load_test(engine: Engine, config: LoadGenConfig,
                   rec["level_topn"].astype(np.int32))
 
     def producer(tid: int):
-        rng = np.random.default_rng(config.seed + tid)
+        # pre-generate the request pool (the reference producer does the
+        # same, predict_request_producer.cc): per-request RNG in the paced
+        # loop costs tens of µs that starve multi-kqps targets on a busy host
         per_thread_qps = (config.qps / config.num_producers
                           if config.qps > 0 else None)
+        if replay is not None:
+            pool_u, pool_l = replay[0], replay[1]
+        else:
+            rng = np.random.default_rng(config.seed + tid)
+            pool_u = rng.standard_normal(
+                (64, mcfg.max_seq_length, mcfg.user_emb_dim)
+            ).astype(np.float32)
+            pool_l = None
         next_t = time.perf_counter()
         i = tid
         while not stop.is_set():
@@ -57,14 +67,9 @@ def run_load_test(engine: Engine, config: LoadGenConfig,
                     time.sleep(min(next_t - now, 0.05))
                     continue
                 next_t += 1.0 / per_thread_qps
-            if replay is not None:
-                user = replay[0][i % len(replay[0])]
-                ltn = replay[1][i % len(replay[1])]
-                i += config.num_producers
-            else:
-                user = rng.standard_normal(
-                    (mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32)
-                ltn = None
+            user = pool_u[i % len(pool_u)]
+            ltn = pool_l[i % len(pool_l)] if pool_l is not None else None
+            i += config.num_producers
             if not inflight_sem.acquire(timeout=0.1):
                 continue
             fut = engine.submit(user, ltn)
