@@ -107,24 +107,45 @@ def main():
                     help="report the XLA cost analysis of the batched "
                          "program (FLOPs, HBM bytes, kernel census) — the "
                          "relay-safe profiling path (utils/trace.py)")
+    ap.add_argument("--autotune-caps", action="store_true",
+                    help="profile per-hop scored maxima on 64 probe queries "
+                         "and re-compile the search with per-hop frontier "
+                         "caps (search/autotune.py) — sheds the padding a "
+                         "single scalar cap costs on the cheap hops")
     ap.add_argument("--reorder", default=None, choices=[None, "bfs"],
                     help="relabel nodes for gather locality (index/reorder.py)")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "int8"],
                     help="index embedding storage (int8 = packed symmetric "
                          "per-row quantization, index/quantize.py)")
-    ap.add_argument("--chained", type=int, default=0, metavar="N",
+    ap.add_argument("--chained", type=int, default=None, metavar="N",
                     help="also measure device-true single-query latency by "
                          "chaining N searches inside one program (immune to "
-                         "host/relay dispatch overhead; costs one compile)")
+                         "host/relay dispatch overhead; costs one compile). "
+                         "Default: 20 on a TPU backend, off on CPU — the "
+                         "dispatch-pipelined qps is tunnel-bandwidth-capped "
+                         "through a relay, so the driver artifact must carry "
+                         "the device-true numbers (docs/DESIGN.md round 3)")
     args = ap.parse_args()
     if args.quick:
         args.items = min(args.items, 20_000)
         args.reps = 10
 
     print(f"# devices: {jax.devices()}", file=sys.stderr)
+    if args.chained is None:
+        args.chained = 0 if (args.quick
+                             or jax.devices()[0].platform == "cpu") else 20
     mcfg, scfg, params, state, sidx = build_setup(
         args.items, reorder=args.reorder,
         dtype="int8" if args.dtype == "int8" else jnp.bfloat16)
+
+    if args.autotune_caps:
+        from nann_tpu.search.autotune import autotune_hop_caps
+        probe = np.random.default_rng(7).standard_normal(
+            (64, mcfg.max_seq_length, mcfg.user_emb_dim)).astype(np.float32)
+        t0 = time.time()
+        scfg = autotune_hop_caps(mcfg, scfg, params, state, sidx, probe)
+        print(f"# autotuned per-hop caps: {scfg.frontier_cap_per_hop} "
+              f"({time.time() - t0:.1f}s)", file=sys.stderr)
 
     searcher = make_searcher(mcfg, scfg)
     search1 = jax.jit(searcher)
