@@ -37,8 +37,13 @@ fi
 COMMON=(--dataset-dir "$DATA" --output-root "$OUT")
 
 echo "=== train (max_steps=$STEPS) $(date -u +%H:%M:%S)"
+# warmup+cosine, not the reference's constant 3e-3: at constant lr the
+# oracle ceiling degrades monotonically past 10k steps at 4.2M (66.0% ->
+# 54.3% over 50k), and at 100k the unwarmed hot start caps the ceiling at
+# 17% vs cosine's 72.5% (docs/DESIGN.md round 4, scripts/lr_schedule_ab.sh)
 python -m nann_tpu.main --job-type train "${COMMON[@]}" \
-  --max-steps "$STEPS" --save-freq 10000 --print-freq 200
+  --max-steps "$STEPS" --save-freq 10000 --print-freq 200 \
+  --lr-schedule cosine --warmup-steps 500
 
 echo "=== select_checkpoint (deploy-by-oracle) $(date -u +%H:%M:%S)"
 # the reference deploys the checkpoint test_all likes best (main.py:194-237);
