@@ -108,6 +108,10 @@ def parse_opt(argv=None) -> argparse.Namespace:
     p.add_argument("--hnsw-num-neighbors", type=int, default=32)
     p.add_argument("--ef-construction", type=int, default=200)
     p.add_argument("--search-batch", type=int, default=16)
+    p.add_argument("--autotune-caps", action="store_true",
+                   help="export: probe per-hop scored maxima on held-out "
+                        "users and bake tuned frontier_cap_per_hop into the "
+                        "bundle signature (search/autotune.py)")
     p.add_argument("--batch-buckets", type=int, nargs="+", default=None,
                    help="engine batch-bucket ladder for serve/serve_bench "
                         "(default: EngineConfig ladder up to the chip's "
@@ -505,6 +509,22 @@ def job_export(args, mcfg, tcfg, scfg, paths):
     # lands only after the FULL bundle (scorer + index) is on disk
     has_index = os.path.exists(os.path.join(paths.index_dir,
                                             "enter_points.npy"))
+    if args.autotune_caps and has_index:
+        # bake data-derived per-hop frontier caps into the bundle: probe the
+        # search on real held-out users, cap each hop just above its measured
+        # expansion (search/autotune.py). signature.json round-trips the full
+        # SearchConfig, so serving hosts compile the tuned widths directly.
+        from .delivery import extract_user_embeddings
+        from .search.autotune import autotune_hop_caps
+        _train, test, _feats = load_dataset(args)
+        n_probe = min(args.num_test_batch, len(test["gt_item_id"]), 256)
+        users = extract_user_embeddings(
+            state.params, {k: test[k][:n_probe] for k in test})
+        sidx = _load_search_index(args, mcfg, scfg, paths)
+        scfg = autotune_hop_caps(mcfg, scfg, state.params, state.bn_state,
+                                 sidx, np.asarray(users, np.float32))
+        logger.info(f"autotuned per-hop frontier caps ({n_probe} probes): "
+                    f"{scfg.frontier_cap_per_hop}")
     export_model(paths.export_dir, state.params, state.bn_state, mcfg, scfg,
                  item_ids, item_embs,
                  index_dir=paths.index_dir if has_index else None,
