@@ -53,6 +53,11 @@ def _load_lib() -> ctypes.CDLL:
         ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int64)]
     lib.nann_hnsw_free.argtypes = [ctypes.c_void_p]
+    # optional symbol: a libnann_hnsw.so built before the progress counter
+    # landed still loads (rebuild with `make -C native` to get fractions)
+    if hasattr(lib, "nann_hnsw_progress"):
+        lib.nann_hnsw_progress.argtypes = [ctypes.POINTER(ctypes.c_int64),
+                                           ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
     return lib
 
@@ -81,9 +86,22 @@ def build_hnsw(embeddings: np.ndarray, M: int = 32, ef_construction: int = 200,
 
     def _beat():
         t0 = _time.time()
+        has_progress = hasattr(lib, "nann_hnsw_progress")
         while not done.wait(120):
-            logger.info(f"hnsw build running ({n} nodes, "
-                        f"{_time.time() - t0:.0f}s elapsed)")
+            d_done, d_total = ctypes.c_int64(), ctypes.c_int64()
+            if has_progress:
+                lib.nann_hnsw_progress(ctypes.byref(d_done),
+                                       ctypes.byref(d_total))
+            el = _time.time() - t0
+            if d_total.value > 0 and d_done.value > 0:
+                eta = el * (d_total.value - d_done.value) / d_done.value
+                logger.info(
+                    f"hnsw build running ({d_done.value}/{d_total.value} "
+                    f"nodes = {d_done.value / d_total.value:.1%}, "
+                    f"{el:.0f}s elapsed, ~{eta:.0f}s left)")
+            else:
+                logger.info(f"hnsw build running ({n} nodes, "
+                            f"{el:.0f}s elapsed)")
 
     beat = threading.Thread(target=_beat, daemon=True)
     beat.start()

@@ -201,9 +201,21 @@ void insert_node(HnswGraph& g, int i, std::vector<uint8_t>& visited,
   }
 }
 
+// build progress observable from the host while nann_hnsw_build blocks
+// (the Python wrapper's heartbeat thread polls nann_hnsw_progress so long
+// builds report a fraction, not just an elapsed time)
+std::atomic<int64_t> g_progress_done(0);
+std::atomic<int64_t> g_progress_total(0);
+
 }  // namespace
 
 extern "C" {
+
+// Nodes inserted / total of the build currently running (0/0 when idle).
+void nann_hnsw_progress(int64_t* done, int64_t* total) {
+  *done = g_progress_done.load(std::memory_order_relaxed);
+  *total = g_progress_total.load(std::memory_order_relaxed);
+}
 
 // Builds the HNSW graph. Returns an opaque handle (0 on failure).
 // data: [n, d] float32 row-major; borrowed for the duration of the call only.
@@ -246,6 +258,8 @@ void* nann_hnsw_build(const float* data, int64_t n, int d, int M,
   g->max_level = g->levels[order[0]] - 1;
 
   if (num_threads <= 0) num_threads = 1;
+  g_progress_total.store(n, std::memory_order_relaxed);
+  g_progress_done.store(1, std::memory_order_relaxed);  // entry point
   std::atomic<int64_t> next(1);
   auto worker = [&]() {
     std::vector<uint8_t> visited(n, 0);
@@ -255,6 +269,7 @@ void* nann_hnsw_build(const float* data, int64_t n, int d, int M,
       int64_t k = next.fetch_add(1);
       if (k >= n) break;
       insert_node(*g, order[k], visited, touched);
+      g_progress_done.fetch_add(1, std::memory_order_relaxed);
     }
   };
   if (num_threads == 1) {
