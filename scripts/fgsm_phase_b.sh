@@ -12,6 +12,9 @@
 # per arm — parity, not just the oracle ceiling, is what FGSM exists to move
 # (smoother score landscape -> graph search recovers more of the top-k).
 #
+# Every stage is idempotent (skipped when its artifact exists) so a
+# babysit.sh restart after a relay drop resumes at the unfinished stage.
+#
 # Usage: bash scripts/babysit.sh 900 /tmp/fgsm_b.log \
 #          timeout 13000 bash scripts/fgsm_phase_b.sh
 set -uo pipefail
@@ -24,20 +27,30 @@ COMMON="--synthetic --num-item 100000 --num-cate 200 --num-users 300000 \
 
 run_arm () { # $1=tag  $2=eps  $3=weight
   OUT=runs/fgsm_b/$1
+  if [ -f "$OUT/parity.json" ]; then
+    echo "=== FGSM[$1] already done: $(cat "$OUT/parity.json")"
+    return
+  fi
   mkdir -p "$OUT"
   [ -f "$OUT/$(basename $DATA_NPZ)" ] || cp "$DATA_NPZ" "$OUT/"
   ARGS="$COMMON --output-root $OUT --adv-eps $2 --adv-weight $3"
   echo "=== FGSM[$1] eps=$2 w=$3 train $(date -u +%H:%M:%S)"
   python -m nann_tpu.main --job-type train $ARGS
   echo "rc=$?"
-  echo "=== FGSM[$1] select $(date -u +%H:%M:%S)"
-  python -m nann_tpu.main --job-type select_checkpoint $ARGS \
-    --num-test-batch 512 --bf16 2>&1 | grep -E "SELECTED|checkpoint step"
+  if [ ! -f "$OUT/model/selected_step.json" ]; then
+    echo "=== FGSM[$1] select $(date -u +%H:%M:%S)"
+    python -m nann_tpu.main --job-type select_checkpoint $ARGS \
+      --num-test-batch 512 --bf16 2>&1 | grep -E "SELECTED|checkpoint step"
+  fi
   echo "=== FGSM[$1] extract+index+parity $(date -u +%H:%M:%S)"
-  python -m nann_tpu.main --job-type extract_feature $ARGS > /dev/null 2>&1
-  python -m nann_tpu.main --job-type build_index $ARGS 2>&1 | tail -1
+  [ -f "$OUT/embeddings/item_embs.npy" ] || \
+    python -m nann_tpu.main --job-type extract_feature $ARGS > /dev/null 2>&1
+  [ -f "$OUT/index/enter_points.npy" ] || \
+    python -m nann_tpu.main --job-type build_index $ARGS 2>&1 | tail -1
   python -m nann_tpu.main --job-type parity $ARGS --num-test-batch 512 \
-    2>&1 | grep -E "PARITY|Recall|num_scoring"
+    2>&1 | grep -E "PARITY|Recall|num_scoring" | tee "$OUT/parity.log"
+  grep -q "PARITY" "$OUT/parity.log" && \
+    grep "PARITY" "$OUT/parity.log" > "$OUT/parity.json"
   echo "=== FGSM[$1] done $(date -u +%H:%M:%S)"
 }
 
