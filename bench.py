@@ -308,6 +308,11 @@ def main():
                             reps=max(args.reps // 3, 5))
         extras["qps_at_reference_scale"] = round(64 / t_ms * 1e3, 1)
         extras["reference_scale_items"] = 4_200_000
+        # the at-scale sub-bench runs its own catalogue-aware cap (8192
+        # above 2M items since round 4 — the r3->r4 1,932->1,361 delta was
+        # this, unannotated); carry it so the number is attributable
+        extras["reference_scale_frontier_cap"] = scfg4.frontier_cap
+        extras["reference_scale_dtype"] = "int8"
         print(f"# 4.2M-item int8 batch-64 qps: "
               f"{extras['qps_at_reference_scale']}", file=sys.stderr)
         del params4, state4, sidx4
@@ -367,42 +372,60 @@ def main():
         eng = Engine(mcfg, scfg, params, state, sidx,
                      EngineConfig(batch_buckets=buckets, wait_ms=2.0,
                                   calibrate=True))
-        serve_b = eng._serve_cap
-        extras["engine_serve_bucket"] = serve_b
-        # pace at 70% of the engine's measured capacity at the calibrated
-        # bucket (calibration IS a saturated load test through the live
-        # engine) so percentiles measure service latency, not queue growth
-        target_qps = max(0.7 * eng.bucket_qps[serve_b], 20.0)
-        for attempt in range(3):
+        extras["engine_calibration"] = eng.calibration_source
+
+        def _drain(timeout=15.0):
+            t_end = time.perf_counter() + timeout
+            while eng.depth() and time.perf_counter() < t_end:
+                time.sleep(0.01)
+
+        # Validate the calibrated bucket with a paced run before accepting
+        # it; on instability STEP DOWN to the next-fastest bucket instead of
+        # re-pacing the same bucket toward zero (round-4 regression: the
+        # re-pacing fallback accepted 534 qps at B=128 with p99 2.2 s while
+        # B=16 could hold ~1,900). Each attempt paces at 70% of the
+        # candidate's own calibrated capacity so percentiles measure service
+        # latency, not queue growth.
+        order = sorted(eng.bucket_qps, key=eng.bucket_qps.get, reverse=True)
+        attempts = []
+        accepted = None
+        for serve_b in order[:3]:
+            if eng.bucket_qps[serve_b] < 50 and attempts:
+                continue  # not worth a paced attempt unless nothing ran yet
+            eng._serve_cap = serve_b
+            target_qps = max(0.7 * eng.bucket_qps[serve_b], 20.0)
             # Match the micro-batch window to the paced rate: saturated
             # calibration forms full batches (deep queue), but at 70% load a
             # short window dispatches tiny batches whose per-batch host sync
             # (~31 ms through the CI relay) collapses capacity below the
-            # paced rate — the queue then pins at max depth and the
-            # "percentiles" measure queue capacity, not service. Half-bucket
-            # window at the target rate keeps batches big enough to amortize
-            # the sync.
+            # paced rate. Half-bucket window at the target rate keeps
+            # batches big enough to amortize the sync.
             eng.config.wait_ms = min(200.0, max(
                 2.0, 1e3 * serve_b / (2.0 * target_qps)))
+            _drain()
             eng.metrics.latency_us = type(eng.metrics.latency_us)()  # drop
-            # calibration / overloaded-attempt samples from the distribution
+            # calibration / prior-attempt samples from the distribution
             res = run_load_test(
                 eng, LoadGenConfig(duration_s=8.0, qps=target_qps),
                 verbose=False)
-            # Feedback pacing: the paced regime (windowed batching, paced
-            # producers, whatever else the host is doing) can sustain less
-            # than saturated calibration promised; when it does, the queue
-            # pins at max depth and latency measures queue residence, not
-            # service. Re-pace at 70% of what THIS regime actually served.
+            snap = (serve_b, target_qps, res,
+                    eng.metrics.latency_us.snapshot())
+            attempts.append(snap)
             if res["qps"] >= 0.85 * target_qps:
+                accepted = snap
                 break
-            print(f"# paced run unstable (served {res['qps']:.0f} of "
-                  f"{target_qps:.0f} target) — re-pacing", file=sys.stderr)
-            target_qps = max(0.7 * res["qps"], 20.0)
-            t_drain = time.perf_counter() + 15.0
-            while eng.depth() and time.perf_counter() < t_drain:
-                time.sleep(0.01)
-        lat = eng.metrics.latency_us.snapshot()
+            print(f"# paced run unstable at B={serve_b} (served "
+                  f"{res['qps']:.0f} of {target_qps:.0f} target) — stepping "
+                  f"down a bucket", file=sys.stderr)
+        if accepted is None and attempts:
+            # no candidate held 85% of its target: report the best-served
+            # attempt LOUDLY flagged — its percentiles measure queue
+            # residence under overload, not service latency (ADVICE r4)
+            accepted = max(attempts, key=lambda a: a[2]["qps"])
+            extras["engine_paced_unstable"] = True
+        serve_b, target_qps, res, lat = accepted
+        extras["engine_serve_bucket"] = serve_b
+        extras["engine_paced_target_qps"] = round(target_qps, 1)
         dev = eng.metrics.device_us.snapshot()
         eng.shutdown()
         if dev["count"] >= 10:
@@ -445,6 +468,15 @@ def main():
         "num_items": args.items,
         "num_scoring_per_query": num_scoring,
         "device": str(jax.devices()[0]),
+        # config fingerprint: cross-round deltas must be attributable to
+        # config vs perf at a glance (round-4 lesson: the catalogue-aware
+        # frontier_cap default changed 4.2M qps with no annotation)
+        "frontier_cap": scfg.frontier_cap,
+        "frontier_cap_per_hop": list(scfg.frontier_cap_per_hop or ()) or None,
+        "vis_impl": scfg.vis_impl,
+        "mark_policy": scfg.mark_policy,
+        "index_dtype": args.dtype,
+        "checkpoint": "random-init (synthetic bench)",
         **extras,
     }))
 

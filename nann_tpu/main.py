@@ -69,6 +69,11 @@ def parse_opt(argv=None) -> argparse.Namespace:
                         "(measured fix for the at-scale late-training ceiling "
                         "degradation, docs/DESIGN.md round 4)")
     p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--lr-total-steps", type=int, default=0,
+                   help="pin the cosine decay horizon independently of "
+                        "--max-steps (0 = track max-steps); set this when a "
+                        "resumed run passes a different step budget so the "
+                        "schedule stays the one the run started with")
     p.add_argument("--lr-final-ratio", type=float, default=0.01)
     p.add_argument("--weight-decay", type=float, default=1e-4)
     p.add_argument("--adv-eps", type=float, default=3e-5)
@@ -158,6 +163,7 @@ def build_configs(args) -> Tuple[ModelConfig, TrainConfig, SearchConfig]:
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
         lr_final_ratio=args.lr_final_ratio,
+        lr_total_steps=args.lr_total_steps,
         adv_eps=args.adv_eps, adv_weight=args.adv_weight,
         num_neg=min(args.num_neg, max(num_item // args.batch_size, 1)),
         save_freq=args.save_freq, print_freq=args.print_freq, dp=args.dp)

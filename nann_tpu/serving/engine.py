@@ -68,6 +68,10 @@ class EngineConfig:
     #                                   cap serving at the fastest bucket
     serve_bucket: Optional[int] = None  # explicit cap override (skips
     #                                     calibration when set)
+    calibration_file: Optional[str] = None  # persist/reuse the calibration
+    #   profile (keyed by a transport+program fingerprint) so `serve` does
+    #   not run a saturated self-load-test at every startup (round-4 weak
+    #   #6); delete the file to force a re-measure
     wait_ms: float = 5.0              # micro-batch window (opt_default.conf wait_ms)
     max_queue: int = 256              # reject beyond this (max_queue_size)
     warmup: bool = True
@@ -161,10 +165,19 @@ class Engine:
                                   if b >= self.config.serve_bucket)
         self._dispatcher.start()
         self._completer.start()
+        self.bucket_qps = {}
+        self.calibration_source = "none"
         if self.config.serve_bucket is None and self.config.calibrate:
-            # calibration drives the LIVE engine (threads just started), so
-            # it measures the path real traffic takes
-            self._serve_cap = self._calibrate()
+            cached = self._load_calibration()
+            if cached is not None:
+                self._serve_cap = cached
+                self.calibration_source = "cached"
+            else:
+                # calibration drives the LIVE engine (threads just started),
+                # so it measures the path real traffic takes
+                self._serve_cap = self._calibrate()
+                self.calibration_source = "measured"
+                self._save_calibration(self._serve_cap)
 
     # ------------------------------------------------------------- lifecycle
 
@@ -182,11 +195,12 @@ class Engine:
             jax.block_until_ready(self._fns[b](params, state, index, user, ltn))
             logger.info(f"warmup bucket B={b}: {time.time() - t0:.2f}s")
 
-    def _calibrate(self, window_s: float = 1.5) -> int:
+    def _calibrate(self, window_s: float = 0.6, repeats: int = 3,
+                   noise_frac: float = 0.12) -> int:
         """Measure per-bucket saturated throughput THROUGH THE LIVE ENGINE
-        (queue -> micro-batch -> dispatch -> drain) and return the bucket
-        that maximizes it. The runtime analogue of the reference's warmup
-        pass (blaze_xla_predictor.cc:79-140), extended to pick the operating
+        (queue -> micro-batch -> dispatch -> drain) and return the serving
+        bucket. The runtime analogue of the reference's warmup pass
+        (blaze_xla_predictor.cc:79-140), extended to pick the operating
         point instead of assuming one.
 
         It must be the full engine path, not pipelined bare dispatch: bare
@@ -194,7 +208,16 @@ class Engine:
         bucket 128 (3,086 qps measured), while the same engine under a real
         load test serves 16 fastest through the relay (983 vs 592 qps at
         4.2M, runs/engine_curve_4p2m.json) — the queue path pays per-batch
-        host work and transport costs the bare loop hides."""
+        host work and transport costs the bare loop hides.
+
+        Drift robustness (round-4 regression): a single window on a drifting
+        transport can crown a bucket on a bandwidth spike it cannot sustain
+        (r4: one 1.5 s window said B=128 at 3,554 qps; the paced run then
+        served 877 of 2,488). Each bucket is therefore measured `repeats`
+        times (median taken), and the SMALLEST bucket within `noise_frac` of
+        the best median serves — a smaller bucket costs nothing when the
+        medians tie, and its per-dispatch upload is a fraction of the big
+        bucket's, so it degrades gracefully when bandwidth drifts down."""
         rng = np.random.default_rng(0)
         user = rng.standard_normal(
             (self.mcfg.max_seq_length, self.mcfg.user_emb_dim)
@@ -204,26 +227,137 @@ class Engine:
             t_end = time.perf_counter() + timeout
             while self.depth() and time.perf_counter() < t_end:
                 time.sleep(0.002)
+            if self.depth():
+                # a slow backend can leave a backlog the timeout can't clear;
+                # carrying it into the next window poisons every later
+                # measurement (and these are calibration's OWN synthetic
+                # requests) — flush the undispatched remainder
+                flushed = 0
+                while True:
+                    try:
+                        r = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if not r.future.done():
+                        r.future.set_exception(RequestRejected(
+                            "calibration flush"))
+                    flushed += 1
+                logger.info(f"calibration drain timed out — flushed "
+                            f"{flushed} queued probes")
 
-        self.bucket_qps = {}
-        for b in sorted(self._fns):
-            self._serve_cap = b          # dispatcher reads this each cycle
+        def _window(b: int) -> float:
             _drain()
             count0 = self.metrics.throughput.count
+            # saturate batch formation WITHOUT flooding the queue to its cap:
+            # keep ~4 batches' worth in flight — on a slow backend a
+            # 256-deep backlog from one window outlives its drain timeout
+            depth_cap = min(4 * b, self.config.max_queue // 2)
             t0 = time.perf_counter()
             while time.perf_counter() - t0 < window_s:
-                fut = self.submit(user)
-                if fut.done() and fut.exception() is not None:
-                    time.sleep(0.002)    # queue full — let it move
+                if self.depth() >= depth_cap:
+                    time.sleep(0.001)
+                    continue
+                self.submit(user)
             _drain()
             wall = time.perf_counter() - t0
-            self.bucket_qps[b] = (self.metrics.throughput.count - count0) \
-                / max(wall, 1e-9)
-        best = max(self.bucket_qps, key=self.bucket_qps.get)
-        logger.info("calibrated serve bucket B=%d (engine qps by bucket: %s)"
-                    % (best, {k: round(v, 1)
-                              for k, v in self.bucket_qps.items()}))
-        return best
+            return (self.metrics.throughput.count - count0) / max(wall, 1e-9)
+
+        self.bucket_qps = {}
+        # round-robin the repeats across buckets (not repeats-per-bucket
+        # back-to-back) so a multi-second bandwidth dip hits every bucket's
+        # sample set instead of sinking one bucket's entire median
+        samples = {b: [] for b in self._fns}
+        for rep in range(repeats):
+            for b in sorted(self._fns):
+                if rep > 0 and max(samples[b]) < 1.0:
+                    continue             # dead bucket on this backend — do
+                    #                      not burn two more windows on it
+                self._serve_cap = b      # dispatcher reads this each cycle
+                samples[b].append(_window(b))
+        for b, s in samples.items():
+            self.bucket_qps[b] = float(np.median(s))
+        best_q = max(self.bucket_qps.values())
+        chosen = min(b for b, q in self.bucket_qps.items()
+                     if q >= (1.0 - noise_frac) * best_q)
+        logger.info(
+            "calibrated serve bucket B=%d (median engine qps by bucket: %s; "
+            "smallest within %d%% of best)"
+            % (chosen, {k: round(v, 1) for k, v in self.bucket_qps.items()},
+               round(noise_frac * 100)))
+        return chosen
+
+    # ------------------------------------------------- calibration persistence
+
+    def _calibration_fingerprint(self) -> str:
+        """Key the cached profile to everything the per-bucket curve depends
+        on: the transport/device, the compiled program family (catalogue
+        size, caps, search impl, dtype) and the bucket ladder."""
+        _p, _s, index = self._model
+        fp = {
+            "device": str(jax.devices()[0]),
+            "buckets": sorted(self._fns),
+            "items": int(index.item_embs.shape[0]),
+            "seq": self.mcfg.max_seq_length,
+            "user_emb": self.mcfg.user_emb_dim,
+            "emb_dtype": str(index.item_embs.dtype),
+            "frontier_cap": self.scfg.frontier_cap,
+            "frontier_cap_per_hop": list(self.scfg.frontier_cap_per_hop or ()),
+            "vis_impl": self.scfg.vis_impl,
+            "staged": self.config.staged,
+        }
+        import hashlib
+        import json
+        return hashlib.md5(
+            json.dumps(fp, sort_keys=True).encode()).hexdigest()[:16]
+
+    def _load_calibration(self) -> Optional[int]:
+        path = self.config.calibration_file
+        if not path:
+            return None
+        import json
+        import os
+        if not os.path.exists(path):
+            return None
+        try:
+            with open(path) as f:
+                prof = json.load(f)
+        except (OSError, ValueError) as e:
+            logger.info(f"calibration file unreadable ({e!r}) — re-measuring")
+            return None
+        ent = prof.get(self._calibration_fingerprint())
+        if not ent or ent.get("serve_bucket") not in self._fns:
+            return None
+        self.bucket_qps = {int(k): float(v)
+                           for k, v in ent.get("bucket_qps", {}).items()}
+        logger.info(f"calibration loaded from {path}: "
+                    f"B={ent['serve_bucket']} (measured {ent.get('ts', '?')})")
+        return int(ent["serve_bucket"])
+
+    def _save_calibration(self, serve_bucket: int) -> None:
+        path = self.config.calibration_file
+        if not path:
+            return
+        import json
+        import os
+        prof = {}
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    prof = json.load(f)
+            except (OSError, ValueError):
+                prof = {}
+        prof[self._calibration_fingerprint()] = {
+            "serve_bucket": serve_bucket,
+            "bucket_qps": {str(k): round(v, 1)
+                           for k, v in self.bucket_qps.items()},
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        try:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            with open(path, "w") as f:
+                json.dump(prof, f, indent=1)
+        except OSError as e:
+            logger.info(f"calibration save failed: {e!r}")
 
     def swap_model(self, params: Params, state: State,
                    index: SearchIndex) -> None:
@@ -400,8 +534,25 @@ class Engine:
         with self._active_lock:
             self._active_batches += len(batch)
         # async: device still computing; dispatch timestamp feeds the
-        # per-batch device-time estimate in the completion thread
-        self._inflight.put((batch, out, time.perf_counter()))
+        # per-batch device-time estimate in the completion thread. The put
+        # must stay stop-aware: on a slow backend the completer can sit in
+        # block_until_ready for minutes, and a dispatcher parked forever in
+        # a full _inflight.put outlives shutdown's bounded join
+        item = (batch, out, time.perf_counter())
+        while True:
+            try:
+                self._inflight.put(item, timeout=1.0)
+                break
+            except queue.Full:
+                if self._stop.is_set():
+                    for r in batch:
+                        if not r.future.done():
+                            r.future.set_exception(
+                                RequestRejected("engine shutdown"))
+                    with self._active_lock:
+                        self._active_batches -= len(batch)
+                    self._current_batch = []
+                    return
         self.metrics.batch_size.update(len(batch))
         self._current_batch = []
 
