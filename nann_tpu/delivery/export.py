@@ -63,7 +63,8 @@ def _unflatten_into(template, flat, prefix=""):
 def export_model(export_dir: str, params: Params, state: State,
                  mcfg: ModelConfig, scfg: SearchConfig,
                  item_ids: np.ndarray = None, item_embs: np.ndarray = None,
-                 index_dir: str = None, checkpoint_step: int = None) -> None:
+                 index_dir: str = None, checkpoint_step: int = None,
+                 autotune_report: dict = None) -> None:
     """Write the serving bundle; the VERSION marker is written LAST so a
     reloader polling mid-export never cold-loads a mixed old/new bundle
     (reference ModelReloader keys on an explicit version, model.cc:384-437).
@@ -83,6 +84,10 @@ def export_model(export_dir: str, params: Params, state: State,
             # full search config so a serving host reproduces the exporter's
             # budgets/caps/policies exactly (load via load_search_config)
             "search_config": dataclasses.asdict(scfg),
+            # how per-hop caps were derived (probe maxima + margin): a query
+            # whose hop expansion exceeds a tuned cap truncates silently at
+            # serve time, so the derivation must be auditable from the bundle
+            "frontier_cap_autotune": autotune_report,
             "inputs": {
                 "comm_seq": {"dtype": "float16",
                              "shape": [1, mcfg.max_seq_length * mcfg.user_emb_dim]},

@@ -78,11 +78,18 @@ def tuned_hop_caps(profile: np.ndarray, scalar_cap: int,
 def autotune_hop_caps(mcfg: ModelConfig, scfg: SearchConfig, params, state,
                       sidx, probe_users: np.ndarray,
                       level_topn: Optional[np.ndarray] = None,
-                      margin: float = 1.3) -> SearchConfig:
+                      margin: float = 1.3,
+                      report: Optional[dict] = None) -> SearchConfig:
     """Probe at scfg's scalar cap and return a SearchConfig whose
     frontier_cap_per_hop matches the measured profile (one extra compile for
     the caller's next jit). The returned config also keeps the scalar cap as
-    the saturation fallback for hops the probes maxed out."""
+    the saturation fallback for hops the probes maxed out.
+
+    If `report` is passed (a dict), it is filled with the tuning provenance
+    (probe maxima per hop, margin, probe count) so exporters can persist how
+    the caps were derived — a production query whose expansion exceeds a
+    tuned cap is truncated silently at serve time, and the recorded maxima
+    are what make that risk auditable (round-4 advisor)."""
     import dataclasses
 
     base = dataclasses.replace(scfg, frontier_cap_per_hop=None)
@@ -91,4 +98,13 @@ def autotune_hop_caps(mcfg: ModelConfig, scfg: SearchConfig, params, state,
     # num_scoring row 0 is the enter-point evaluation (a static count, not a
     # frontier hop); frontier_cap_per_hop covers the expansion hops only
     caps = tuned_hop_caps(profile[:, 1:], base.frontier_cap, margin=margin)
+    if report is not None:
+        report.update({
+            "num_probes": int(profile.shape[0]),
+            "probe_hop_maxima": profile[:, 1:].max(axis=0).astype(int).tolist(),
+            "probe_hop_means": [round(float(x), 1)
+                                for x in profile[:, 1:].mean(axis=0)],
+            "margin": margin,
+            "scalar_cap": int(base.frontier_cap),
+        })
     return dataclasses.replace(scfg, frontier_cap_per_hop=caps)

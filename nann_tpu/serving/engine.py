@@ -529,7 +529,8 @@ class Engine:
         # device round trip PER OUTPUT PER BATCH (~30 ms each over a relay
         # link — measured as a hard ~16 batches/s completion ceiling that
         # backlogged the engine even at light load)
-        for a in out[:2]:
+        n_host = 3 if self.scfg.frontier_cap_per_hop else 2
+        for a in out[:n_host]:
             a.copy_to_host_async()
         with self._active_lock:
             self._active_batches += len(batch)
@@ -597,6 +598,17 @@ class Engine:
                 try:
                     items = np.asarray(out[0])
                     scores = np.asarray(out[1])
+                    if self.scfg.frontier_cap_per_hop:
+                        # tuned caps truncate silently when live traffic
+                        # expands past the probe-derived width — count it
+                        # (num_scoring row 0 is the static enter-point eval;
+                        # the expansion hops follow)
+                        ns = np.asarray(out[2])[:len(batch), 1:]
+                        caps = np.asarray(self.scfg.frontier_cap_per_hop)
+                        h = min(ns.shape[1], len(caps))
+                        sat = int((ns[:, :h] >= caps[:h]).any(axis=1).sum())
+                        if sat:
+                            self.metrics.cap_saturated.mark(sat)
                     now = time.perf_counter()
                     for i, r in enumerate(batch):
                         valid = items[i] >= 0

@@ -77,6 +77,12 @@ class MetricsRegistry:
         # regression-sensitive where latency_us (request wall time) is
         # dominated by ~30 ms tunnel jitter
         self.device_us = Histogram()
+        # requests whose hop expansion hit a frontier cap (per-hop tuned
+        # caps truncate silently — this meter is the serve-time detectability
+        # the round-4 advisor asked for; nonzero means the tuned caps are
+        # binding on live traffic and parity may diverge from the scalar-cap
+        # program)
+        self.cap_saturated = Meter()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
 
@@ -93,7 +99,8 @@ class MetricsRegistry:
             f"p95={lat['p95']:.0f} p99={lat['p99']:.0f} max={lat['max']:.0f}",
             f"[{self.name}] batch_size: mean={bs['mean']:.1f} p99={bs['p99']:.0f}",
             f"[{self.name}] failures: {self.failures.count} "
-            f"rejected: {self.rejected.count}",
+            f"rejected: {self.rejected.count} "
+            f"cap_saturated: {self.cap_saturated.count}",
         ]
 
     def start_reporter(self, interval_s: float = 3.0, sink=print) -> None:

@@ -280,6 +280,11 @@ void* nann_hnsw_build(const float* data, int64_t n, int d, int M,
     for (auto& th : threads) th.join();
   }
   g->data = nullptr;  // borrowed pointer ends here
+  // restore the "0/0 when idle" contract: without this, a heartbeat polling
+  // between builds reports the PREVIOUS build's final fraction as live
+  // progress (round-4 advisor)
+  g_progress_done.store(0, std::memory_order_relaxed);
+  g_progress_total.store(0, std::memory_order_relaxed);
   return g;
 }
 
