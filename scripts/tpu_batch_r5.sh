@@ -39,6 +39,9 @@ stage "re-export with autotuned per-hop caps (+ provenance in signature)"
 python -m nann_tpu.main --job-type export --dataset-dir "$DATA" \
   --output-root "$OUT" --autotune-caps --num-test-batch 256
 echo "rc=$?"
+python -m nann_tpu.main --job-type verify_export --dataset-dir "$DATA" \
+  --output-root "$OUT" 2>&1 | tail -2
+echo "rc=$? (verify re-export)"
 CAPS=$(python - <<'PY'
 import json
 try:
