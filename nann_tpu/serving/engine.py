@@ -248,16 +248,21 @@ class Engine:
         def _window(b: int) -> float:
             _drain()
             count0 = self.metrics.throughput.count
-            # saturate batch formation WITHOUT flooding the queue to its cap:
-            # keep ~4 batches' worth in flight — on a slow backend a
-            # 256-deep backlog from one window outlives its drain timeout
-            depth_cap = min(4 * b, self.config.max_queue // 2)
+            # saturate batch formation AND the dispatch pipeline (the engine
+            # keeps up to 8 batches in flight; a tighter cap under-measures
+            # every bucket — a 4-batch cap read B=16 at 788 qps where the
+            # saturated engine serves ~2,600) while still bounding the
+            # backlog a slow backend can accumulate (the drain flush above
+            # is the backstop when even this outlives the timeout)
+            depth_cap = min(24 * b, 4 * self.config.max_queue)
             t0 = time.perf_counter()
             while time.perf_counter() - t0 < window_s:
                 if self.depth() >= depth_cap:
                     time.sleep(0.001)
                     continue
-                self.submit(user)
+                fut = self.submit(user)
+                if fut.done() and fut.exception() is not None:
+                    time.sleep(0.001)    # queue full — let it move
             _drain()
             wall = time.perf_counter() - t0
             return (self.metrics.throughput.count - count0) / max(wall, 1e-9)
