@@ -389,34 +389,55 @@ def main():
         order = sorted(eng.bucket_qps, key=eng.bucket_qps.get, reverse=True)
         attempts = []
         accepted = None
+        P99_BUDGET_MS = 250.0  # latency gate: a stable-throughput run whose
+        # p99 exceeds this is queueing (70% of an M/D/1-ish server through a
+        # 30 ms relay bursts); back off to 55% of capacity before accepting
         for serve_b in order[:3]:
             if eng.bucket_qps[serve_b] < 50 and attempts:
                 continue  # not worth a paced attempt unless nothing ran yet
-            eng._serve_cap = serve_b
-            target_qps = max(0.7 * eng.bucket_qps[serve_b], 20.0)
-            # Match the micro-batch window to the paced rate: saturated
-            # calibration forms full batches (deep queue), but at 70% load a
-            # short window dispatches tiny batches whose per-batch host sync
-            # (~31 ms through the CI relay) collapses capacity below the
-            # paced rate. Half-bucket window at the target rate keeps
-            # batches big enough to amortize the sync.
-            eng.config.wait_ms = min(200.0, max(
-                2.0, 1e3 * serve_b / (2.0 * target_qps)))
-            _drain()
-            eng.metrics.latency_us = type(eng.metrics.latency_us)()  # drop
-            # calibration / prior-attempt samples from the distribution
-            res = run_load_test(
-                eng, LoadGenConfig(duration_s=8.0, qps=target_qps),
-                verbose=False)
-            snap = (serve_b, target_qps, res,
-                    eng.metrics.latency_us.snapshot())
-            attempts.append(snap)
-            if res["qps"] >= 0.85 * target_qps:
-                accepted = snap
+            for frac in (0.7, 0.55):
+                eng._serve_cap = serve_b
+                target_qps = max(frac * eng.bucket_qps[serve_b], 20.0)
+                # Match the micro-batch window to the paced rate: saturated
+                # calibration forms full batches (deep queue), but at 70%
+                # load a short window dispatches tiny batches whose per-batch
+                # host sync (~31 ms through the CI relay) collapses capacity
+                # below the paced rate. Half-bucket window at the target rate
+                # keeps batches big enough to amortize the sync.
+                eng.config.wait_ms = min(200.0, max(
+                    2.0, 1e3 * serve_b / (2.0 * target_qps)))
+                _drain()
+                eng.metrics.latency_us = type(eng.metrics.latency_us)()
+                # ^ drop calibration / prior-attempt samples
+                res = run_load_test(
+                    eng, LoadGenConfig(duration_s=8.0, qps=target_qps),
+                    verbose=False)
+                snap = (serve_b, target_qps, res,
+                        eng.metrics.latency_us.snapshot())
+                stable = res["qps"] >= 0.85 * target_qps
+                if stable:
+                    attempts.append(snap)
+                    if snap[3]["p99"] / 1e3 <= P99_BUDGET_MS:
+                        accepted = snap
+                        break
+                    print(f"# paced run stable at B={serve_b} but p99="
+                          f"{snap[3]['p99']/1e3:.0f} ms > {P99_BUDGET_MS:.0f}"
+                          f" — backing off pacing", file=sys.stderr)
+                else:
+                    attempts.append(snap)
+                    print(f"# paced run unstable at B={serve_b} (served "
+                          f"{res['qps']:.0f} of {target_qps:.0f} target) — "
+                          f"stepping down a bucket", file=sys.stderr)
+                    break  # next bucket; lower pacing won't fix instability
+            if accepted is not None:
                 break
-            print(f"# paced run unstable at B={serve_b} (served "
-                  f"{res['qps']:.0f} of {target_qps:.0f} target) — stepping "
-                  f"down a bucket", file=sys.stderr)
+        if accepted is None and attempts:
+            # prefer the best stable attempt (highest qps among those that
+            # held ≥85% of target), even if its p99 missed the budget
+            stable_attempts = [a for a in attempts
+                               if a[2]["qps"] >= 0.85 * a[1]]
+            if stable_attempts:
+                accepted = max(stable_attempts, key=lambda a: a[2]["qps"])
         if accepted is None and attempts:
             # no candidate held 85% of its target: report the best-served
             # attempt LOUDLY flagged — its percentiles measure queue

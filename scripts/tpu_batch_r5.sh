@@ -12,28 +12,6 @@ mkdir -p "$MEAS"
 
 stage() { echo "=== $1 $(date -u +%H:%M:%S)"; }
 
-# ---------------------------------------------------------------- FGSM phase C
-# The one missing grid cell: eps 0 vs the reference default 3e-5 at 4.2M
-# under the cosine schedule + selection (Phase B proved the wash at 100k;
-# round-3 Phase A only compared 3e-5 vs 1e-3 at scale). Same corpus, same
-# budget/schedule as the main pipeline run — only FGSM differs.
-stage "fgsm_c: eps=0 arm at 4.2M (50k cosine)"
-if [ ! -f runs/fgsm_c_e0/model/selected_step.json ]; then
-  mkdir -p runs/fgsm_c_e0
-  python -m nann_tpu.main --job-type train --dataset-dir "$DATA" \
-    --output-root runs/fgsm_c_e0 --max-steps 50000 --save-freq 10000 \
-    --print-freq 200 --lr-schedule cosine --warmup-steps 500 \
-    --adv-eps 0 --adv-weight 0
-  python -m nann_tpu.main --job-type select_checkpoint --dataset-dir "$DATA" \
-    --output-root runs/fgsm_c_e0 --num-test-batch 512 --bf16 \
-    --adv-eps 0 --adv-weight 0
-fi
-echo "rc=$?"
-cp runs/fgsm_c_e0/model/selected_step.json "$MEAS/fgsm_c_e0_selection.json" \
-  2>/dev/null || true
-cp "$OUT/model/selected_step.json" "$MEAS/fgsm_c_e3e-5_selection.json" \
-  2>/dev/null || true
-
 # ------------------------------------------------- re-export with tuned caps
 stage "re-export with autotuned per-hop caps (+ provenance in signature)"
 python -m nann_tpu.main --job-type export --dataset-dir "$DATA" \
@@ -94,6 +72,29 @@ stage "profiler attempt (SURVEY 5.1; relay-blocked rounds 2-4)"
 timeout 600 python bench.py --quick --items 20000 --profile /tmp/nann_trace_r5
 echo "PROFILER_ATTEMPT rc=$?"
 ls /tmp/nann_trace_r5 2>/dev/null || echo "no trace produced"
+
+# ---------------------------------------------------------------- FGSM phase C
+# The one missing grid cell: eps 0 vs the reference default 3e-5 at 4.2M
+# under the cosine schedule + selection (Phase B proved the wash at 100k;
+# round-3 Phase A only compared 3e-5 vs 1e-3 at scale). Same corpus, same
+# budget/schedule as the main pipeline run — only FGSM differs. Runs LAST:
+# it holds the TPU ~1.5 h and every other stage's artifact matters more.
+stage "fgsm_c: eps=0 arm at 4.2M (50k cosine)"
+if [ ! -f runs/fgsm_c_e0/model/selected_step.json ]; then
+  mkdir -p runs/fgsm_c_e0
+  python -m nann_tpu.main --job-type train --dataset-dir "$DATA" \
+    --output-root runs/fgsm_c_e0 --max-steps 50000 --save-freq 10000 \
+    --print-freq 200 --lr-schedule cosine --warmup-steps 500 \
+    --adv-eps 0 --adv-weight 0
+  python -m nann_tpu.main --job-type select_checkpoint --dataset-dir "$DATA" \
+    --output-root runs/fgsm_c_e0 --num-test-batch 512 --bf16 \
+    --adv-eps 0 --adv-weight 0
+fi
+echo "rc=$?"
+cp runs/fgsm_c_e0/model/selected_step.json "$MEAS/fgsm_c_e0_selection.json" \
+  2>/dev/null || true
+cp "$OUT/model/selected_step.json" "$MEAS/fgsm_c_e3e-5_selection.json" \
+  2>/dev/null || true
 
 # ------------------------------------------------------------------- collect
 stage "collect parity artifacts"
