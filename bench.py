@@ -389,7 +389,7 @@ def main():
         order = sorted(eng.bucket_qps, key=eng.bucket_qps.get, reverse=True)
         attempts = []
         accepted = None
-        P99_BUDGET_MS = 250.0  # latency gate: a stable-throughput run whose
+        P99_BUDGET_MS = 200.0  # latency gate: a stable-throughput run whose
         # p99 exceeds this is queueing (70% of an M/D/1-ish server through a
         # 30 ms relay bursts); back off to 55% of capacity before accepting
         for serve_b in order[:3]:
