@@ -99,6 +99,18 @@ def parse_opt(argv=None) -> argparse.Namespace:
     p.add_argument("--select-steps", type=int, nargs="+", default=None,
                    help="checkpoint steps select_checkpoint evaluates "
                         "(default: every retained checkpoint)")
+    p.add_argument("--select-metric", choices=["oracle", "graph"],
+                   default="oracle",
+                   help="select_checkpoint criterion. oracle = brute-force "
+                        "ceiling (the reference's test_all-then-deploy flow)"
+                        "; graph = end-to-end graph recall on a small "
+                        "gt-covering subset index built per checkpoint — "
+                        "the SHIPPING metric. At 4.2M the oracle curve is "
+                        "flat while graph recall collapses 4x with training "
+                        "progress (docs/DESIGN.md round 5), so oracle-only "
+                        "selection can ship an unroutable model")
+    p.add_argument("--select-subset", type=int, default=200_000,
+                   help="subset catalogue size for --select-metric graph")
     p.add_argument("--frontier-cap", type=int, default=None,
                    help="static per-hop frontier capacity; default is "
                         "catalogue-aware (config.default_frontier_cap: 4096 "
@@ -451,10 +463,16 @@ def job_select_checkpoint(args, mcfg, tcfg, scfg, paths):
     with the best oracle recall (NANN_impls/main.py:194-237); exporting
     whatever checkpoint is newest shipped a degraded model at 4.2M scale
     (step-30000 oracle 57.4% vs step-10001's 67.3%, docs/DESIGN.md round 3).
-    This job evaluates the brute-force oracle recall of every retained
-    checkpoint (or --select-steps) on a held-out slice, writes the winner to
-    model/selected_step.json, and every downstream job (extract_feature,
-    test, test_all, export, parity) restores the SELECTED checkpoint.
+    This job evaluates every retained checkpoint (or --select-steps) on a
+    held-out slice, writes the winner to model/selected_step.json, and every
+    downstream job (extract_feature, test, test_all, export, parity)
+    restores the SELECTED checkpoint. Two criteria (--select-metric):
+    oracle = brute-force ceiling (the reference flow); graph = end-to-end
+    recall through a per-checkpoint subset HNSW (delivery/graph_select.py)
+    — the shipping metric. Round-5 forensics: at 4.2M the oracle curve is
+    flat across checkpoints while graph recall collapses 76.6% -> 5.7%
+    (subset parity, steps 10k -> 50k), so oracle-only selection shipped a
+    37%-parity model; graph selection is the fix.
     """
     import jax.numpy as jnp
     from .delivery import extract_item_embeddings
@@ -464,15 +482,25 @@ def job_select_checkpoint(args, mcfg, tcfg, scfg, paths):
     steps = args.select_steps or checkpoint_steps(paths.model_save_dir)
     if not steps:
         raise SystemExit(f"no checkpoints in {paths.model_save_dir}")
-    key = f"recall@{max(args.topk_eval)}"
+    graph_mode = args.select_metric == "graph"
+    k = max(args.topk_eval)
+    key = f"graph_recall@{k}" if graph_mode else f"recall@{k}"
     n_users = min(args.num_test_batch, len(test["gt_item_id"]))
+    if graph_mode:
+        from .delivery.graph_select import (gt_covering_subset,
+                                            subset_graph_recall)
+        sub_ids, sub_rows = gt_covering_subset(
+            feats, test, n_users, min(args.select_subset, mcfg.num_item))
+        logger.info(f"graph selection: {len(sub_ids)}-item gt-covering "
+                    f"subset index per checkpoint")
     # per-checkpoint evals are minutes each at 4.2M scale and the relay can
     # drop mid-job (babysit.sh restarts the whole command) — cache each
     # finished eval so a restart skips straight to the unfinished ones.
     # Keyed by (users, dtype): a different slice or numerics is a new screen.
     cache_path = os.path.join(
         paths.model_save_dir,
-        f"select_cache_u{n_users}_{mcfg.compute_dtype}.json")
+        f"select_cache{'_graph' if graph_mode else ''}"
+        f"_u{n_users}_{mcfg.compute_dtype}.json")
     results = {}
     if os.path.exists(cache_path):
         with open(cache_path) as f:
@@ -487,10 +515,18 @@ def job_select_checkpoint(args, mcfg, tcfg, scfg, paths):
         state = _restore(mcfg, tcfg, paths, step=step)
         item_ids, item_embs = extract_item_embeddings(
             state.params, state.bn_state, mcfg, feats)
-        # quiet=False: the per-slice progress lines double as the liveness
-        # signal for the babysit.sh log-silence watchdog
-        res = _oracle_recall(args, mcfg, state, jnp.asarray(item_embs),
-                             item_ids, test)
+        if graph_mode:
+            res = {key: subset_graph_recall(
+                mcfg, scfg, state, item_embs, sub_ids, sub_rows, test,
+                n_users,
+                workdir=os.path.join(paths.model_save_dir,
+                                     f"select_idx_{step}"),
+                search_batch=args.search_batch, topk=k)}
+        else:
+            # quiet=False: the per-slice progress lines double as the
+            # liveness signal for the babysit.sh log-silence watchdog
+            res = _oracle_recall(args, mcfg, state, jnp.asarray(item_embs),
+                                 item_ids, test)
         results[step] = res
         logger.info(f"checkpoint step_{step}: oracle {key} "
                     f"{res[key]:.2%} ({time.time() - t0:.0f}s)")
@@ -498,9 +534,11 @@ def job_select_checkpoint(args, mcfg, tcfg, scfg, paths):
             json.dump({str(s): r for s, r in results.items()}, f)
         del state, item_embs
     best = max(results, key=lambda s: results[s][key])
-    sel = {"step": best, "metric": key, "oracle": results[best],
+    sel = {"step": best, "metric": key, "scores": results[best],
            "num_users": min(args.num_test_batch, len(test["gt_item_id"])),
            "evaluated": {str(s): results[s][key] for s in results}}
+    if not graph_mode:
+        sel["oracle"] = results[best]  # historical field name
     sel_path = os.path.join(paths.model_save_dir, "selected_step.json")
     with open(sel_path, "w") as f:
         json.dump(sel, f, indent=1)

@@ -87,6 +87,44 @@ def test_select_checkpoint_deploy_by_oracle(pipeline_out):
     assert int(state.step) == latest
 
 
+def test_select_checkpoint_by_graph_recall(pipeline_out):
+    """--select-metric graph evaluates each checkpoint END-TO-END through a
+    gt-covering subset HNSW (the shipping metric) instead of the oracle
+    ceiling. Round-5 forensics: at 4.2M the two criteria diverge 4x
+    (docs/DESIGN.md) — oracle-flat checkpoints can be graph-unroutable."""
+    import json
+    import os
+    out, argv = pipeline_out
+    args = cli.parse_opt([a if a != "all" else "select_checkpoint"
+                          for a in argv] +
+                         ["--select-metric", "graph",
+                          "--select-subset", "800"])
+    mcfg, tcfg, scfg = cli.build_configs(args)
+    paths = cli.Paths(out)
+    sel = cli.job_select_checkpoint(args, mcfg, tcfg, scfg, paths)
+    assert sel["metric"] == "graph_recall@80"
+    evaluated = {int(k): v for k, v in sel["evaluated"].items()}
+    assert sel["step"] == max(evaluated, key=evaluated.get)
+    # on the tiny corpus the trained checkpoints must actually route:
+    # the winner's subset-graph recall is meaningfully nonzero
+    assert sel["scores"]["graph_recall@80"] > 0.2, sel
+    # per-checkpoint scratch indexes are cleaned up
+    leftovers = [d for d in os.listdir(os.path.join(out, "model"))
+                 if d.startswith("select_idx_")]
+    assert leftovers == []
+    # the graph cache is separate from the oracle cache
+    assert os.path.exists(os.path.join(
+        out, "model", "select_cache_graph_u32_float32.json"))
+    # restore the oracle selection for the downstream tests (fixture is
+    # module-scoped and test_select_checkpoint_deploy_by_oracle asserted
+    # the oracle winner is on disk)
+    oargs = cli.parse_opt([a if a != "all" else "select_checkpoint"
+                           for a in argv])
+    cli.job_select_checkpoint(oargs, mcfg, tcfg, scfg, paths)
+    with open(os.path.join(out, "model", "selected_step.json")) as f:
+        assert "recall@80" == json.load(f)["metric"]
+
+
 def test_resume_then_more_training(pipeline_out):
     """Auto-resume semantics: max_steps is a TOTAL budget. A resumed run
     completes the remaining schedule (not a full extra budget), and a budget
