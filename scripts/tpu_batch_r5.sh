@@ -99,4 +99,7 @@ cp "$OUT/model/selected_step.json" "$MEAS/fgsm_c_e3e-5_selection.json" \
 # ------------------------------------------------------------------- collect
 stage "collect parity artifacts"
 cp "$OUT/parity_result.json" "$MEAS/parity_4p2m_r5.json" 2>/dev/null || true
+# the batch log itself carries the recall-A/B lines — runs/ is gitignored,
+# so snapshot it as committed evidence
+cp runs/r5_batch.log "$MEAS/batch_r5_log.txt" 2>/dev/null || true
 echo "TPU_BATCH_R5_DONE $(date -u +%H:%M:%S)"
