@@ -392,10 +392,11 @@ def main():
         P99_BUDGET_MS = 200.0  # latency gate: a stable-throughput run whose
         # p99 exceeds this is queueing (70% of an M/D/1-ish server through a
         # 30 ms relay bursts); back off to 55% of capacity before accepting
+        FRACS = (0.7, 0.55, 0.4)
         for serve_b in order[:3]:
             if eng.bucket_qps[serve_b] < 50 and attempts:
                 continue  # not worth a paced attempt unless nothing ran yet
-            for frac in (0.7, 0.55):
+            for fi, frac in enumerate(FRACS):
                 eng._serve_cap = serve_b
                 target_qps = max(frac * eng.bucket_qps[serve_b], 20.0)
                 # Match the micro-batch window to the paced rate: saturated
@@ -425,10 +426,23 @@ def main():
                           f" — backing off pacing", file=sys.stderr)
                 else:
                     attempts.append(snap)
+                    # lower pacing CAN fix instability when the served rate
+                    # already covers the next-lower target (the bottleneck is
+                    # the pace, e.g. host-side feeder contention, not the
+                    # engine) — seen live when a concurrent HNSW build starved
+                    # the producer threads and all 3 buckets failed at 70%
+                    nxt = FRACS[fi + 1] if fi + 1 < len(FRACS) else None
+                    if (nxt is not None and res["qps"] >=
+                            0.85 * nxt * eng.bucket_qps[serve_b]):
+                        print(f"# paced run unstable at B={serve_b} (served "
+                              f"{res['qps']:.0f} of {target_qps:.0f}) — "
+                              f"served rate covers the {nxt:.0%} target; "
+                              f"backing off pacing", file=sys.stderr)
+                        continue
                     print(f"# paced run unstable at B={serve_b} (served "
                           f"{res['qps']:.0f} of {target_qps:.0f} target) — "
                           f"stepping down a bucket", file=sys.stderr)
-                    break  # next bucket; lower pacing won't fix instability
+                    break  # next bucket; lower pacing won't fix this one
             if accepted is not None:
                 break
         if accepted is None and attempts:
