@@ -461,6 +461,12 @@ def main():
         serve_b, target_qps, res, lat = accepted
         extras["engine_serve_bucket"] = serve_b
         extras["engine_paced_target_qps"] = round(target_qps, 1)
+        # transport-window fingerprint: the calibration medians say whether a
+        # cross-round engine_qps delta is the engine or the relay's mood
+        extras["engine_calibration_qps"] = {
+            str(b): round(q, 1) for b, q in sorted(eng.bucket_qps.items())}
+        if lat["count"] and lat["p99"] / 1e3 > P99_BUDGET_MS:
+            extras["engine_p99_over_budget_ms"] = P99_BUDGET_MS
         dev = eng.metrics.device_us.snapshot()
         eng.shutdown()
         if dev["count"] >= 10:
